@@ -84,26 +84,74 @@ class Decoder:
         self.video_pos += video_frames
 
 
+def _q15_mix(samples, matrix):
+    """swresample's s16 rematrix: Q15 integer coefficients with
+    round-half-up accumulation (out = (sum(in*q15) + 16384) >> 15)."""
+    q15 = np.round(np.asarray(matrix, np.float64) * 32768.0).astype(np.int64)
+    acc = samples.astype(np.int64) @ q15.T
+    out = (acc + (1 << 14)) >> 15
+    return np.clip(out, -32768, 32767).astype(np.int16)
+
+
+# FFmpeg default channel layouts by count (what a plain WAV without an
+# explicit channel mask is assigned).
+_DEFAULT_LAYOUTS = {
+    1: ["FC"],
+    2: ["FL", "FR"],
+    3: ["FL", "FR", "LFE"],
+    4: ["FL", "FR", "FC", "BC"],
+    5: ["FL", "FR", "FC", "BL", "BR"],
+    6: ["FL", "FR", "FC", "LFE", "BL", "BR"],
+    7: ["FL", "FR", "FC", "LFE", "BC", "SL", "SR"],
+    8: ["FL", "FR", "FC", "LFE", "BL", "BR", "SL", "SR"],
+}
+
+_SQRT1_2 = 2.0 ** -0.5
+
+
+def _swr_matrix(src_names, target_channels):
+    """swresample's default mixing matrix to mono/stereo, including the
+    renormalization by the largest per-output coefficient sum when it
+    exceeds 1.0 (verified bit-exactly against swr via the golden tests)."""
+    clev = slev = _SQRT1_2
+    rows = 2 if target_channels == 2 else 1
+    m = np.zeros((rows, len(src_names)))
+    for c, name in enumerate(src_names):
+        if target_channels == 2:
+            coef = {"FL": (1, 0), "FR": (0, 1), "FC": (clev, clev),
+                    "BL": (slev, 0), "BR": (0, slev),
+                    "SL": (slev, 0), "SR": (0, slev),
+                    "BC": (slev * _SQRT1_2, slev * _SQRT1_2),
+                    "LFE": (0, 0)}[name]
+            m[0, c], m[1, c] = coef
+        else:
+            m[0, c] = {"FL": _SQRT1_2, "FR": _SQRT1_2, "FC": 1.0,
+                       "BL": slev * _SQRT1_2, "BR": slev * _SQRT1_2,
+                       "SL": slev * _SQRT1_2, "SR": slev * _SQRT1_2,
+                       "BC": slev, "LFE": 0.0}[name]
+    maxsum = np.abs(m).sum(axis=1).max()
+    if maxsum > 1.0:
+        m /= maxsum
+    return m
+
+
 def _remix_channels(samples, target_channels):
-    """Minimal swresample-compatible channel remix (exact for the common
-    mono<->stereo cases; see decoding.c:216-235)."""
+    """swresample-compatible channel remix (decoding.c:216-247).
+
+    Bit-exact for passthrough and for default-layout sources mixed down/up
+    to mono or stereo (the configurations the reference CLI can request);
+    >2-channel targets with mismatched sources are best-effort (the
+    reference leaves their order unspecified, decoding.c:226).
+    """
     src = samples.shape[1]
     if src == target_channels:
         return samples
-    if src == 1:
-        return np.repeat(samples, target_channels, axis=1)
-    if target_channels == 1:
-        # swresample downmix: mean of all channels with 0.5/0.5 for stereo.
-        acc = samples.astype(np.float64).mean(axis=1)
-        return np.clip(np.rint(acc), -32768, 32767).astype(
-            np.int16).reshape(-1, 1)
-    if target_channels == 2:
-        if src > 2:
-            samples = samples[:, :2]
-        return samples
-    # N-channel target from fewer channels: repeat/zero-fill.
+    names = _DEFAULT_LAYOUTS.get(src)
+    if target_channels in (1, 2) and names is not None:
+        return _q15_mix(samples, _swr_matrix(names, target_channels))
     out = np.zeros((samples.shape[0], target_channels), dtype=np.int16)
-    out[:, :min(src, target_channels)] = samples[:, :target_channels]
+    out[:, :min(src, target_channels)] = samples[:, :min(src,
+                                                         target_channels)]
     return out
 
 

@@ -54,6 +54,9 @@ def encode_unit_streams(channel_samples, offsets, limits, filter_count,
         values <= 0 mask the whole unit).
     Returns:
       headers (B, T) uint8, nibbles (B, T, 28) uint8, final state arrays.
+      (The returned state reflects bucket-padding units and is only
+      meaningful when T is a power of two; containers encode whole files in
+      one call and do not consume it.)
     """
     channel_samples = np.asarray(channel_samples)
     B, N = channel_samples.shape
@@ -68,6 +71,18 @@ def encode_unit_streams(channel_samples, offsets, limits, filter_count,
         channel_samples.astype(np.int32),
         idx.reshape(B, -1), axis=1).reshape(B, T, SAMPLES_PER_UNIT)
     lim = np.clip(limits, -(1 << 30), SAMPLES_PER_UNIT).astype(np.int32)
+
+    # Bucket T to the next power of two so different stream lengths share
+    # compiled programs; padding units are fully masked (limit 0) and their
+    # outputs are sliced away (the scan is causal, so they cannot affect
+    # real units).
+    T_pad = max(64, 1 << (T - 1).bit_length())
+    if T_pad != T:
+        units = np.concatenate(
+            [units, np.zeros((B, T_pad - T, SAMPLES_PER_UNIT), np.int32)],
+            axis=1)
+        lim = np.concatenate([lim, np.zeros((B, T_pad - T), np.int32)],
+                             axis=1)
     if prev1 is None:
         prev1 = np.zeros(B, np.int32)
     if prev2 is None:
@@ -76,8 +91,9 @@ def encode_unit_streams(channel_samples, offsets, limits, filter_count,
         jnp.asarray(units), jnp.asarray(lim), jnp.asarray(prev1),
         jnp.asarray(prev2), filter_count=filter_count,
         shift_range=shift_range)
-    return (np.asarray(headers).astype(np.uint8),
-            np.asarray(nibbles).astype(np.uint8),
+    headers = np.asarray(headers)[:, :T]
+    nibbles = np.asarray(nibbles)[:, :T]
+    return (headers.astype(np.uint8), nibbles.astype(np.uint8),
             np.asarray(p1), np.asarray(p2))
 
 

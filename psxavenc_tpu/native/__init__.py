@@ -1,0 +1,105 @@
+"""ctypes loader for the native host runtime (psxav_native.cpp).
+
+The shared object is compiled on demand with g++ and cached next to the
+source, keyed by a content hash — no pybind11 or setuptools needed.
+"""
+
+import ctypes
+import hashlib
+import os
+import pathlib
+import subprocess
+import tempfile
+
+import numpy as np
+
+_DIR = pathlib.Path(__file__).resolve().parent
+_SRC = _DIR / "psxav_native.cpp"
+
+
+def _build():
+    src = _SRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    out = _DIR / f"libpsxav_native_{tag}.so"
+    if out.exists():
+        return out
+    with tempfile.TemporaryDirectory() as td:
+        tmp = pathlib.Path(td) / out.name
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+             str(_SRC), "-o", str(tmp)],
+            check=True, capture_output=True)
+        os.replace(tmp, out)
+    return out
+
+
+_lib = ctypes.CDLL(str(_build()))
+
+_lib.psxn_edc.restype = ctypes.c_uint32
+_lib.psxn_edc.argtypes = [ctypes.c_char_p, ctypes.c_long]
+_lib.psxn_edc_batch.restype = None
+_lib.psxn_edc_batch.argtypes = [ctypes.c_void_p] + [ctypes.c_long] * 5
+_lib.psxn_sector_init.restype = None
+_lib.psxn_sector_init.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                  ctypes.c_int]
+_lib.psxn_calc_checksums.restype = None
+_lib.psxn_calc_checksums.argtypes = [ctypes.c_void_p, ctypes.c_int]
+_lib.psxn_xa_assemble.restype = None
+_lib.psxn_xa_assemble.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                  ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+_lib.psxn_bs_pack.restype = ctypes.c_long
+_lib.psxn_bs_pack.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                              ctypes.c_long, ctypes.c_void_p, ctypes.c_long]
+
+SECTOR_MODE1 = 0
+SECTOR_MODE2_FORM1 = 1
+SECTOR_MODE2_FORM2 = 2
+
+
+def _ptr(arr):
+    return arr.ctypes.data_as(ctypes.c_void_p)
+
+
+def edc(data):
+    data = bytes(data)
+    return _lib.psxn_edc(data, len(data))
+
+
+def edc_batch(sectors, crc_off, crc_len, edc_off):
+    """In-place EDC for (n, stride) uint8 sector array."""
+    assert sectors.dtype == np.uint8 and sectors.flags.c_contiguous
+    n, stride = sectors.shape
+    _lib.psxn_edc_batch(_ptr(sectors), n, stride, crc_off, crc_len, edc_off)
+
+
+def sector_init(sector, lba, stype):
+    assert sector.dtype == np.uint8 and sector.flags.c_contiguous
+    _lib.psxn_sector_init(_ptr(sector), lba, stype)
+
+
+def calc_checksums(sector, stype):
+    assert sector.dtype == np.uint8 and sector.flags.c_contiguous
+    _lib.psxn_calc_checksums(_ptr(sector), stype)
+
+
+def xa_assemble(headers, nibbles, units_per_block, bits8):
+    """(18, upb) headers + (18, upb, 28) nibbles -> 2304-byte payload."""
+    headers = np.ascontiguousarray(headers, dtype=np.uint8)
+    nibbles = np.ascontiguousarray(nibbles, dtype=np.uint8)
+    payload = np.zeros(2304, dtype=np.uint8)
+    _lib.psxn_xa_assemble(_ptr(payload), _ptr(headers), _ptr(nibbles),
+                          units_per_block, int(bits8))
+    return payload
+
+
+def bs_pack(codes, lens, out_size):
+    """Pack a BS symbol stream; returns (bytes_used, buffer) or (-1, None)
+    when the frame exceeds out_size."""
+    codes = np.ascontiguousarray(codes, dtype=np.uint32)
+    lens = np.ascontiguousarray(lens, dtype=np.uint8)
+    out = np.zeros(out_size, dtype=np.uint8)
+    used = _lib.psxn_bs_pack(_ptr(codes), _ptr(lens), len(codes), _ptr(out),
+                             out_size)
+    if used < 0:
+        return -1, None
+    return used, out

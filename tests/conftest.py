@@ -15,6 +15,13 @@ import subprocess
 import numpy as np
 import pytest
 
+# Persistent compilation cache: golden tests jit many shapes; reruns should
+# not pay tracing+compile again.
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 REPO = pathlib.Path(__file__).resolve().parent.parent
 ORACLE = REPO / "build" / "psxavenc_ref"
 
