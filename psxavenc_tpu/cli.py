@@ -48,6 +48,17 @@ def _video_banner(args):
 
 
 def main(argv=None):
+    import os
+
+    # The deployment image pins jax_platforms to the TPU plugin; allow an
+    # explicit override (e.g. PSXAVENC_PLATFORM=cpu for small host-side
+    # jobs where the device round-trip dominates).
+    plat = os.environ.get("PSXAVENC_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     if argv is None:
         argv = sys.argv[1:]
     args = ca.Args()

@@ -1,0 +1,298 @@
+"""MDEC BS frame encoding ops: quantize, zigzag run-length, Huffman sizing.
+
+The reference (psxavenc/mdec.c:580-755) finds the quantization scale by
+re-encoding the whole frame at scale 1, 2, ... until the bitstream fits the
+frame budget. TPU-native formulation: quantize every coefficient at ALL 63
+scales in one batched pass, compute each scale's exact bitstream length with
+LUT gathers (Huffman code lengths), and select the first scale that fits —
+provably the same choice, without the serial retry loop. Only the winning
+scale's symbols leave the device.
+
+Bit/byte accounting matches mdec.c exactly:
+- DIVIDE_ROUNDED is round-half-away-from-zero (mdec.c:434-439), implemented
+  in exact integer arithmetic (sign(n) * ((|n| + d/2) // d)).
+- Coefficients clamp to [-0x200, +0x1FE] after int16 wrap (mdec.c:257-267).
+- A frame fits iff 8 + 2*ceil(total_bits/16) <= frame_max_size, which is
+  exactly when the reference's incremental packer never trips its bail-out
+  (flush k starts at byte 8+2(k-1) and fails when that +1 >= max,
+  mdec.c:321-333).
+
+Huffman table data is the PSX MDEC code set (run/level AC codes, DC delta
+codes for BS v3) as published in the MDEC format documentation; see
+mdec.c:39-222 for the reference's copy of the same constants.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------- constants
+
+# PSX default quantization matrix (mdec.c:189-198).
+QUANT_PSX = np.array([
+    2, 16, 19, 22, 26, 27, 29, 34,
+    16, 16, 22, 24, 27, 29, 34, 37,
+    19, 22, 26, 27, 29, 34, 34, 38,
+    22, 22, 26, 27, 29, 34, 37, 40,
+    22, 26, 27, 29, 32, 35, 40, 48,
+    26, 27, 29, 32, 35, 40, 48, 58,
+    26, 27, 29, 34, 38, 46, 56, 69,
+    27, 29, 35, 38, 46, 56, 69, 83,
+], dtype=np.int32)
+
+# Inverse zigzag: scan position -> row-major block index (mdec.c:213-222).
+ZAGZIG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+# MDEC AC Huffman code set: (run, |level|) -> (prefix_bits, prefix_value).
+# One trailing sign bit follows each prefix. (mdec.c:39-157 carries the
+# same table.)
+AC_TABLE = {
+    (0, 1): (2, 0x3), (1, 1): (3, 0x3), (0, 2): (4, 0x4), (2, 1): (4, 0x5),
+    (0, 3): (5, 0x05), (4, 1): (5, 0x06), (3, 1): (5, 0x07),
+    (7, 1): (6, 0x04), (6, 1): (6, 0x05), (1, 2): (6, 0x06),
+    (5, 1): (6, 0x07),
+    (2, 2): (7, 0x04), (9, 1): (7, 0x05), (0, 4): (7, 0x06),
+    (8, 1): (7, 0x07),
+    (13, 1): (8, 0x20), (0, 6): (8, 0x21), (12, 1): (8, 0x22),
+    (11, 1): (8, 0x23), (3, 2): (8, 0x24), (1, 3): (8, 0x25),
+    (0, 5): (8, 0x26), (10, 1): (8, 0x27),
+    (16, 1): (10, 0x008), (5, 2): (10, 0x009), (0, 7): (10, 0x00A),
+    (2, 3): (10, 0x00B), (1, 4): (10, 0x00C), (15, 1): (10, 0x00D),
+    (14, 1): (10, 0x00E), (4, 2): (10, 0x00F),
+    (0, 11): (12, 0x010), (8, 2): (12, 0x011), (4, 3): (12, 0x012),
+    (0, 10): (12, 0x013), (2, 4): (12, 0x014), (7, 2): (12, 0x015),
+    (21, 1): (12, 0x016), (20, 1): (12, 0x017), (0, 9): (12, 0x018),
+    (19, 1): (12, 0x019), (18, 1): (12, 0x01A), (1, 5): (12, 0x01B),
+    (3, 3): (12, 0x01C), (0, 8): (12, 0x01D), (6, 2): (12, 0x01E),
+    (17, 1): (12, 0x01F),
+    (10, 2): (13, 0x0010), (9, 2): (13, 0x0011), (5, 3): (13, 0x0012),
+    (3, 4): (13, 0x0013), (2, 5): (13, 0x0014), (1, 7): (13, 0x0015),
+    (1, 6): (13, 0x0016), (0, 15): (13, 0x0017), (0, 14): (13, 0x0018),
+    (0, 13): (13, 0x0019), (0, 12): (13, 0x001A), (26, 1): (13, 0x001B),
+    (25, 1): (13, 0x001C), (24, 1): (13, 0x001D), (23, 1): (13, 0x001E),
+    (22, 1): (13, 0x001F),
+    (0, 31): (14, 0x0010), (0, 30): (14, 0x0011), (0, 29): (14, 0x0012),
+    (0, 28): (14, 0x0013), (0, 27): (14, 0x0014), (0, 26): (14, 0x0015),
+    (0, 25): (14, 0x0016), (0, 24): (14, 0x0017), (0, 23): (14, 0x0018),
+    (0, 22): (14, 0x0019), (0, 21): (14, 0x001A), (0, 20): (14, 0x001B),
+    (0, 19): (14, 0x001C), (0, 18): (14, 0x001D), (0, 17): (14, 0x001E),
+    (0, 16): (14, 0x001F),
+    (0, 40): (15, 0x0010), (0, 39): (15, 0x0011), (0, 38): (15, 0x0012),
+    (0, 37): (15, 0x0013), (0, 36): (15, 0x0014), (0, 35): (15, 0x0015),
+    (0, 34): (15, 0x0016), (0, 33): (15, 0x0017), (0, 32): (15, 0x0018),
+    (1, 14): (15, 0x0019), (1, 13): (15, 0x001A), (1, 12): (15, 0x001B),
+    (1, 11): (15, 0x001C), (1, 10): (15, 0x001D), (1, 9): (15, 0x001E),
+    (1, 8): (15, 0x001F),
+    (1, 18): (16, 0x0010), (1, 17): (16, 0x0011), (1, 16): (16, 0x0012),
+    (1, 15): (16, 0x0013), (6, 3): (16, 0x0014), (16, 2): (16, 0x0015),
+    (15, 2): (16, 0x0016), (14, 2): (16, 0x0017), (13, 2): (16, 0x0018),
+    (12, 2): (16, 0x0019), (11, 2): (16, 0x001A), (31, 1): (16, 0x001B),
+    (30, 1): (16, 0x001C), (29, 1): (16, 0x001D), (28, 1): (16, 0x001E),
+    (27, 1): (16, 0x001F),
+}
+
+# DC delta prefix codes for BS v3 (mdec.c:159-187): chroma and luma trees,
+# (prefix_bits, prefix_value, delta_bits).
+DC_C_TABLE = [(2, 0x1, 0), (2, 0x2, 1), (3, 0x6, 2), (4, 0xE, 3),
+              (5, 0x1E, 4), (6, 0x3E, 5), (7, 0x7E, 6), (8, 0xFE, 7)]
+DC_Y_TABLE = [(2, 0x0, 0), (2, 0x1, 1), (3, 0x5, 2), (3, 0x6, 3),
+              (4, 0xE, 4), (5, 0x1E, 5), (6, 0x3E, 6), (7, 0x7E, 7)]
+
+INDEX_CR, INDEX_CB, INDEX_Y = 0, 1, 2
+
+BS_V2, BS_V3, BS_V3DC = 0, 1, 2
+
+
+def _build_ac_luts():
+    """64K-entry (bits, code) LUTs keyed by (run<<10)|(level&0x3FF)
+    (mdec.c:256-284). Default entry = 22-bit escape 0b000001 + raw 16."""
+    bits = np.full(0x10000, 22, dtype=np.int32)
+    code = ((1 << 16) | np.arange(0x10000, dtype=np.int64)).astype(np.uint32)
+    for (run, level), (c_bits, c_value) in AC_TABLE.items():
+        for sign, val in ((0, level), (1, -level)):
+            key = (run << 10) | (val & 0x3FF)
+            bits[key] = c_bits + 1
+            code[key] = (c_value << 1) | sign
+    return bits, code
+
+
+def _build_dc_luts():
+    """(3, 512) (bits, code) LUTs keyed by delta & 0x1FF per block type
+    (mdec.c:270-318). Unmapped keys (|delta| > 255, reference UB: reads
+    uninitialized memory) fall back to the widest code of the right sign."""
+    bits = np.zeros((3, 512), dtype=np.int32)
+    code = np.zeros((3, 512), dtype=np.uint32)
+    specials = {INDEX_CR: (2, 0x0), INDEX_CB: (2, 0x0), INDEX_Y: (3, 0x4)}
+    for idx in range(3):
+        b, c = specials[idx]
+        bits[idx, 0] = b
+        code[idx, 0] = c
+        table = DC_Y_TABLE if idx == INDEX_Y else DC_C_TABLE
+        for c_bits, c_value, dc_bits in table:
+            n_bits = c_bits + 1 + dc_bits
+            pos_offset = 1 << dc_bits
+            neg_offset = pos_offset * 2 - 1
+            for j in range(1 << dc_bits):
+                pos = (j + pos_offset) & 0x1FF
+                neg = (j - neg_offset) & 0x1FF
+                bits[idx, pos] = n_bits
+                code[idx, pos] = (c_value << (dc_bits + 1)) | \
+                    (1 << dc_bits) | j
+                bits[idx, neg] = n_bits
+                code[idx, neg] = (c_value << (dc_bits + 1)) | j
+    return bits, code
+
+
+AC_BITS_LUT, AC_CODE_LUT = _build_ac_luts()
+DC_BITS_LUT, DC_CODE_LUT = _build_dc_luts()
+
+# Clamp map: int16 wrap then clamp to [-0x200, +0x1FE] (mdec.c:257-267).
+
+
+def _clamp_coeff(q):
+    w = ((q & 0xFFFF) ^ 0x8000) - 0x8000  # int16 reinterpretation
+    return jnp.clip(w, -0x200, 0x1FE)
+
+
+def _div_rounded(n, d):
+    """round(n/d) half away from zero, exact integers (mdec.c:438)."""
+    an = jnp.abs(n)
+    q = (an + (d >> 1)) // d
+    return jnp.where(n < 0, -q, q)
+
+
+def dc_chain(dc, codec):
+    """BS v3/v3dc DC delta chain (mdec.c:455-480). ``dc`` is the clamped
+    quantized DC per block in encode order; returns delta & 0x1FF keys.
+
+    Scale-independent (DC quant is always 8*quant[0]), so computed once per
+    frame. Sequential across blocks via scan (cheap: one step per block).
+    """
+    nb = dc.shape[0]
+    types = jnp.minimum(jnp.arange(nb, dtype=jnp.int32) % 6, 2)
+
+    def step(last, xs):
+        d, t = xs
+        lastv = last[t]
+        delta = _div_rounded(d - lastv, jnp.int32(4))
+        last = last.at[t].set(lastv + delta * 4)
+        if codec == BS_V3DC:
+            delta = jnp.where(delta < -0x80, delta + 0x100, delta)
+            delta = jnp.where(delta > 0x80, delta - 0x100, delta)
+        return last, delta
+
+    _, deltas = jax.lax.scan(step, jnp.zeros(3, jnp.int32), (dc, types))
+    return deltas & 0x1FF, types
+
+
+@partial(jax.jit, static_argnames=("codec",))
+def encode_frame_symbols(coefs, frame_max_size, *, codec):
+    """Quantize + symbolize one frame at the reference-chosen scale.
+
+    Args:
+      coefs: (NB, 64) int32 FDCT output in encode order (6 blocks per MB,
+        MBs column-major).
+      frame_max_size: int32 scalar frame byte budget.
+      codec: BS_V2 | BS_V3 | BS_V3DC (static).
+
+    Returns dict of device arrays:
+      scale: chosen quant scale (int32; 64 if nothing fits — caller errors),
+      codes/bits: (NB, 65) symbol stream per block (DC, 63 ACs, EOB),
+      nz_count: nonzero AC count at the chosen scale,
+      total_bits: exact bitstream length (without the final 10-bit EOF).
+    """
+    nb = coefs.shape[0]
+    scales = jnp.arange(1, 64, dtype=jnp.int32)  # (63,)
+
+    # --- DC (scale-independent): quant by 8*quant[0] = 16 (mdec.c:671).
+    dc_q = _clamp_coeff(_div_rounded(coefs[:, 0], jnp.int32(16)))
+    if codec == BS_V2:
+        dc_bits = jnp.full((nb,), 10, jnp.int32)
+        dc_code = (dc_q & 0x3FF).astype(jnp.uint32)
+    else:
+        keys, types = dc_chain(dc_q, codec)
+        dc_bits = jnp.asarray(DC_BITS_LUT)[types, keys]
+        dc_code = jnp.asarray(DC_CODE_LUT)[types, keys]
+
+    # --- AC at all 63 scales.
+    zz = jnp.asarray(ZAGZIG[1:])           # (63,) block indices, scan order
+    c = coefs[:, zz]                       # (NB, 63)
+    q = jnp.asarray(QUANT_PSX)[zz]         # (63,)
+    qs = q[None, :] * scales[:, None]      # (63 scales, 63 pos)
+    ac = _clamp_coeff(_div_rounded(c[None, :, :], qs[:, None, :]))
+    # ac: (S, NB, 63)
+
+    nz = ac != 0
+    pos = jnp.arange(1, 64, dtype=jnp.int32)  # scan positions 1..63
+    nzpos = jnp.where(nz, pos[None, None, :], 0)
+    prev_incl = jax.lax.cummax(nzpos, axis=2)
+    prev_excl = jnp.concatenate(
+        [jnp.zeros_like(prev_incl[:, :, :1]), prev_incl[:, :, :-1]], axis=2)
+    run = pos[None, None, :] - prev_excl - 1
+    key = (run << 10) | (ac & 0x3FF)
+    ac_bits = jnp.where(nz, jnp.asarray(AC_BITS_LUT)[key], 0)
+
+    # --- totals and scale choice.
+    per_scale_bits = ac_bits.sum(axis=(1, 2)) + dc_bits.sum() + 2 * nb + 10
+    total_bytes = 8 + 2 * ((per_scale_bits + 15) >> 4)
+    fits = total_bytes <= frame_max_size
+    scale_idx = jnp.argmax(fits)  # first fitting scale
+    scale = jnp.where(jnp.any(fits), scale_idx + 1, 64).astype(jnp.int32)
+
+    # --- emit symbols for the chosen scale.
+    ac_w = jnp.take(ac, scale_idx, axis=0)          # (NB, 63)
+    nz_w = ac_w != 0
+    key_w = jnp.take(key, scale_idx, axis=0)
+    bits_w = jnp.where(nz_w, jnp.asarray(AC_BITS_LUT)[key_w], 0)
+    code_w = jnp.where(nz_w, jnp.asarray(AC_CODE_LUT)[key_w], 0)
+
+    eob_bits = jnp.full((nb, 1), 2, jnp.int32)
+    eob_code = jnp.full((nb, 1), 0x2, jnp.uint32)
+    bits = jnp.concatenate([dc_bits[:, None], bits_w, eob_bits], axis=1)
+    codes = jnp.concatenate([dc_code[:, None].astype(jnp.uint32),
+                             code_w.astype(jnp.uint32), eob_code], axis=1)
+
+    return {
+        "scale": scale,
+        "codes": codes,
+        "bits": bits,
+        "nz_count": nz_w.sum().astype(jnp.int32),
+        "total_bits": jnp.take(per_scale_bits, scale_idx),
+    }
+
+
+def rearrange_nv21_frame(frame, width, height):
+    """NV21 bytes -> (NB, 6, 8, 8) int32 macroblock DCT inputs in encode
+    order (mdec.c:605-634): MBs column-major (fx outer), blocks ordered
+    Cr, Cb, Y1(TL), Y2(TR), Y3(BL), Y4(BR), samples centered by -128."""
+    mb_x, mb_y = width // 16, height // 16
+    y = frame[: width * height].reshape(height, width).astype(jnp.int32)
+    c = frame[width * height:].reshape(height // 2, width // 2, 2).astype(
+        jnp.int32)
+    cr = c[:, :, 0]
+    cb = c[:, :, 1]
+
+    def blocks8(plane, bh, bw):
+        # (H, W) -> (bw, bh, 8, 8) with x-major block order.
+        return plane.reshape(bh, 8, bw, 8).transpose(2, 0, 1, 3)
+
+    cr_b = blocks8(cr, mb_y, mb_x)              # (mb_x, mb_y, 8, 8)
+    cb_b = blocks8(cb, mb_y, mb_x)
+    yb = y.reshape(mb_y, 2, 8, mb_x, 2, 8).transpose(3, 0, 1, 4, 2, 5)
+    # yb: (mb_x, mb_y, 2(yrow), 2(xcol), 8, 8) — Y1=TL (row0,col0),
+    # Y2=TR (row0,col1), Y3=BL, Y4=BR.
+    y1, y2 = yb[:, :, 0, 0], yb[:, :, 0, 1]
+    y3, y4 = yb[:, :, 1, 0], yb[:, :, 1, 1]
+    blocks = jnp.stack([cr_b, cb_b, y1, y2, y3, y4], axis=2)
+    return blocks.reshape(mb_x * mb_y, 6, 8, 8) - 128

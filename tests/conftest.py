@@ -15,10 +15,13 @@ import subprocess
 import numpy as np
 import pytest
 
-# Persistent compilation cache: golden tests jit many shapes; reruns should
-# not pay tracing+compile again.
 import jax
 
+# This image pins jax_platforms to "axon,cpu" (the TPU tunnel) regardless of
+# JAX_PLATFORMS; override it in-process or every test round-trips the TPU.
+jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: golden tests jit many shapes; reruns should
+# not pay tracing+compile again.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

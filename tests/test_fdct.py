@@ -1,0 +1,47 @@
+"""FDCT vs libavcodec AVDCT(FF_DCT_INT) golden vectors."""
+
+import pathlib
+import subprocess
+
+import numpy as np
+import pytest
+
+import jax
+
+from psxavenc_tpu.ops import fdct
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+VEC = REPO / "build" / "fdct_vectors.bin"
+
+
+@pytest.fixture(scope="session")
+def vectors():
+    if not VEC.exists():
+        src = REPO / "tests" / "golden" / "fdct_vectors.c"
+        exe = REPO / "build" / "fdct_vectors"
+        pkg = subprocess.run(["pkg-config", "--cflags", "--libs",
+                              "libavcodec", "libavutil"],
+                             capture_output=True, text=True)
+        if pkg.returncode != 0:
+            pytest.skip("libavcodec not available")
+        subprocess.run(["gcc", "-O2", str(src), "-o", str(exe)]
+                       + pkg.stdout.split(), check=True, cwd=REPO / "build")
+        subprocess.run([str(exe), "512", "42"], check=True,
+                       cwd=REPO / "build")
+    raw = np.fromfile(VEC, dtype="<i2").reshape(-1, 2, 8, 8)
+    return raw[:, 0].astype(np.int32), raw[:, 1].astype(np.int32)
+
+
+def test_fdct_bit_exact(vectors):
+    blocks, expected = vectors
+    got = np.asarray(jax.jit(fdct.fdct_islow)(blocks))
+    mism = np.nonzero((got != expected).any(axis=(1, 2)))[0]
+    assert mism.size == 0, f"first mismatching block: {mism[:5]}"
+
+
+def test_fdct_dc_scale():
+    # DC term equals the plain sum of samples (JPEG DCT x8 convention).
+    rng = np.random.default_rng(0)
+    b = rng.integers(-128, 128, (16, 8, 8)).astype(np.int32)
+    out = np.asarray(fdct.fdct_islow(b))
+    assert np.array_equal(out[:, 0, 0], b.sum(axis=(1, 2)))
