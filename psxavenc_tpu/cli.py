@@ -82,7 +82,17 @@ def main(argv=None):
               file=sys.stderr)
         return 1
 
-    with output:
+    try:
+        return _dispatch(args, dec, output)
+    except (RuntimeError, NotImplementedError) as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+    finally:
+        output.close()
+
+
+def _dispatch(args, dec, output):
+    if True:
         fmt = args.format
         if fmt in (ca.FORMAT_XA, ca.FORMAT_XACD):
             from .containers import xa as xamod

@@ -298,6 +298,12 @@ def open_av_data(args, flags):
     path = args.input_file
     ext = os.path.splitext(path)[1].lower()
 
+    avi = None
+    if ext == ".avi":
+        from . import avi as avimod
+
+        avi = avimod.read_avi(path)
+
     if flags & DECODER_USE_AUDIO:
         audio = None
         if ext == ".wav":
@@ -309,7 +315,10 @@ def open_av_data(args, flags):
                 # decoding.c:334-336: ms from the *source* sample rate.
                 pts = w.loop_start_offset / w.sample_rate
                 dec.loop_point_ms = int(round(pts * 1000.0))
-        else:
+        elif avi is not None and avi.audio is not None:
+            pcm = _remix_channels(avi.audio, args.audio_channels)
+            audio = _resample(pcm, avi.audio_rate, args.audio_frequency)
+        elif avi is None:
             audio = _ffmpeg_audio(path, args.audio_frequency,
                                   args.audio_channels)
         if audio is not None:
@@ -320,10 +329,8 @@ def open_av_data(args, flags):
 
     if flags & DECODER_USE_VIDEO:
         frames = None
-        if ext == ".avi":
-            from . import avi as avimod
-
-            v = avimod.read_avi(path)
+        if avi is not None:
+            v = avi
             dst_w, dst_h = adjust_video_size(args, v.width, v.height)
             dec.video_width, dec.video_height = dst_w, dst_h
             raw = [_scale_frame_nv21(y, cb, cr, v.width, v.height, dst_w,

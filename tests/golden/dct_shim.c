@@ -6,6 +6,7 @@
 #include <libavcodec/avdct.h>
 #include <libavutil/opt.h>
 #include <libavcodec/avcodec.h>
+#undef avcodec_dct_alloc  /* the -include define must not rewrite this TU */
 AVDCT *shim_dct_alloc(void) {
     AVDCT *d = avcodec_dct_alloc();
     if (d) av_opt_set_int(d, "dct", FF_DCT_INT, 0);

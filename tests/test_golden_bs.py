@@ -1,0 +1,92 @@
+"""Golden byte-diff tests for BS video: .sbs (whole-frame) and .str."""
+
+import numpy as np
+import pytest
+
+from psxavenc_tpu import cli
+from tests.conftest import (rand_frames, rand_pcm, run_oracle,
+                            write_avi_sized)
+
+
+def _encode_both(tmp_path, avi_args, enc_args, ext):
+    (tmp_path / "ref").mkdir(exist_ok=True)
+    (tmp_path / "our").mkdir(exist_ok=True)
+    avi = write_avi_sized(tmp_path / "in.avi", *avi_args[:-1],
+                          **avi_args[-1])
+    ref_out = tmp_path / "ref" / f"out.{ext}"
+    our_out = tmp_path / "our" / f"out.{ext}"
+    r = run_oracle(["-q"] + enc_args + [avi, ref_out])
+    assert r.returncode == 0, r.stderr
+    rc = cli.main(["-q"] + [str(a) for a in enc_args] + [str(avi),
+                                                         str(our_out)])
+    assert rc == 0
+    return ref_out.read_bytes(), our_out.read_bytes()
+
+
+@pytest.mark.parametrize("codec,w,h,n,align", [
+    ("v2", 64, 64, 4, 8192),
+    ("v3", 64, 64, 4, 8192),
+    ("v3dc", 64, 64, 4, 8192),
+    ("v2", 128, 96, 3, 2048),    # tight budget forces higher quant scales
+    ("v3", 320, 240, 2, 8192),
+])
+def test_sbs_golden(tmp_path, oracle, codec, w, h, n, align):
+    frames = rand_frames(w, h, n, seed=w * h + n)
+    ref, ours = _encode_both(
+        tmp_path, (w, h, frames, 15, {}),
+        ["-t", "sbs", "-v", codec, "-s", f"{w}x{h}", "-a", align], "sbs")
+    assert len(ref) == len(ours)
+    assert ref == ours
+
+
+def test_strv_golden(tmp_path, oracle):
+    w, h, n = 64, 64, 6
+    frames = rand_frames(w, h, n, seed=7)
+    ref, ours = _encode_both(
+        tmp_path, (w, h, frames, 15, {}),
+        ["-t", "strv", "-s", f"{w}x{h}"], "str")
+    assert len(ref) == len(ours)
+    assert ref == ours
+
+
+def _mask_sectors(blob, ssize, offsets):
+    arr = bytearray(blob)
+    for base in range(0, len(arr), ssize):
+        for off in offsets:
+            if base + off < len(arr):
+                arr[base + off] = 0
+    return bytes(arr)
+
+
+@pytest.mark.parametrize("fmt,codec,w,h,nf,fps,extra", [
+    ("str", "v2", 64, 64, 8, 15, []),
+    ("strcd", "v2", 64, 64, 8, 15, []),
+    ("strcd", "v3", 128, 96, 6, 15, ["-x", "1"]),
+    ("strcd", "v2", 64, 64, 10, 30, ["-r", "30"]),
+    ("strcd", "v2", 64, 64, 8, 15, ["-X"]),      # trailing audio order
+])
+def test_str_av_golden(tmp_path, oracle, fmt, codec, w, h, nf, fps, extra):
+    frames = rand_frames(w, h, nf, seed=nf * w)
+    # Audio long enough to outlast the video.
+    n_audio = int(37800 * (nf / fps) * 1.4) + 4000
+    audio = rand_pcm(n_audio, channels=2, seed=nf)
+    ref, ours = _encode_both(
+        tmp_path, (w, h, frames, fps, {"audio": audio,
+                                       "audio_rate": 37800}),
+        ["-t", fmt, "-v", codec, "-s", f"{w}x{h}"] + extra, "str")
+    assert len(ref) == len(ours), (len(ref), len(ours))
+    ssize = 2352 if fmt == "strcd" else 2336
+    if fmt == "strcd":
+        # [0x918, 0x92C) of the data area is never written (reference stack
+        # garbage) and feeds the Form2 EDC of audio sectors; mask both.
+        mask = list(range(2328, 2352))
+    else:
+        # 2336-byte layout: the OR-target coding byte (+dup) and the
+        # unwritten gap + EDC tail.
+        mask = [3, 7] + list(range(2312, 2336))
+    if extra == ["-X"]:
+        # With trailing audio the first sector is video: its tail beyond
+        # the payload is initial stack garbage in the reference.
+        mask = sorted(set(mask) | set(range(2076, ssize)))
+    assert _mask_sectors(ref, ssize, mask) == _mask_sectors(ours, ssize,
+                                                            mask)
