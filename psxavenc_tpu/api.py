@@ -1,0 +1,114 @@
+"""Batch tensor API — the TPU-native throughput surface.
+
+The reference is a one-file-at-a-time CLI; the latent parallel axes
+(SURVEY §2.2) become explicit batch dimensions here:
+
+- ``spu_encode_batch``: B independent channel streams at once (channels,
+  voice banks, many files) — one ``lax.scan`` over time, everything else
+  vectorized.
+- ``xa_encode_batch``: same kernel with XA filter count/shift range.
+- ``bs_encode_frames``: B video frames at once (one file's frames or many
+  files') — rearrange + FDCT + 63-scale sweep vmapped over the batch.
+
+These are pure jittable functions over fixed shapes; ``parallel.mesh``
+shards their batch axis across chips.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .ops import adpcm as adpcm_ops
+from .ops import bitpack as bitpack_ops
+from .ops import bs as bs_ops
+from .ops import fdct as fdct_ops
+
+
+@partial(jax.jit, static_argnames=())
+def spu_encode_batch(units, limits, prev1, prev2):
+    """SPU-ADPCM: (B, T, 28) int32 sample units -> headers (B, T),
+    nibbles (B, T, 28), final decoder state."""
+    return adpcm_ops.encode_units_scan(
+        units, limits, prev1, prev2,
+        filter_count=adpcm_ops.SPU_FILTER_COUNT,
+        shift_range=adpcm_ops.SHIFT_RANGE_4BPS)
+
+
+@jax.jit
+def spu_encode_blocks(units, limits, prev1, prev2):
+    """SPU-ADPCM straight to 16-byte block bytes on device: (B, T, 28) ->
+    (B, T, 16) uint8 (loop-flag byte left 0 for the host muxer to fill,
+    adpcm.c:356-376 layout)."""
+    headers, nibbles, p1, p2 = adpcm_ops.encode_units_scan(
+        units, limits, prev1, prev2,
+        filter_count=adpcm_ops.SPU_FILTER_COUNT,
+        shift_range=adpcm_ops.SHIFT_RANGE_4BPS)
+    B, T = headers.shape
+    pairs = nibbles.reshape(B, T, 14, 2)
+    packed = ((pairs[..., 0] & 0x0F) | (pairs[..., 1] << 4)).astype(
+        jnp.uint8)
+    blocks = jnp.concatenate(
+        [headers.astype(jnp.uint8)[..., None],
+         jnp.zeros((B, T, 1), jnp.uint8), packed], axis=-1)
+    return blocks, p1, p2
+
+
+@partial(jax.jit, static_argnames=("bits8",))
+def xa_encode_batch(units, limits, prev1, prev2, *, bits8=False):
+    """XA-ADPCM unit batch (4 filters; 4- or 8-bit)."""
+    return adpcm_ops.encode_units_scan(
+        units, limits, prev1, prev2,
+        filter_count=adpcm_ops.XA_FILTER_COUNT,
+        shift_range=(adpcm_ops.SHIFT_RANGE_8BPS if bits8
+                     else adpcm_ops.SHIFT_RANGE_4BPS))
+
+
+@partial(jax.jit, static_argnames=("codec", "width", "height"))
+def bs_encode_frames(frames, budgets, *, codec, width, height):
+    """BS frame batch: (B, w*h*3/2) uint8 NV21 -> per-frame symbol streams.
+
+    Returns dict with scale (B,), codes/bits (B, NB, 65), nz_count (B,),
+    total_bits (B,).
+    """
+    coefs = _frames_to_coefs(frames, width, height)
+    return bs_ops.encode_frames_symbols(coefs, budgets, codec=codec)
+
+
+def _frames_to_coefs(frames, width, height):
+    def one(frame):
+        blocks = bs_ops.rearrange_nv21_frame(frame, width, height)
+        return fdct_ops.fdct_islow(blocks).reshape(-1, 64)
+
+    return jax.vmap(one)(frames)
+
+
+@partial(jax.jit,
+         static_argnames=("codec", "width", "height", "capacity_words"))
+def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
+                            capacity_words):
+    """Fully fused BS frame batch: pixels in, packed bitstream words out.
+
+    Nothing but the packed payload (and a few scalars) leaves the device —
+    the full rearrange/FDCT/quantize/RLE/scale-select/bit-pack pipeline is
+    one XLA program. ``capacity_words`` must cover the largest budget:
+    (max_frame_bytes - 8) // 2.
+    """
+    eof = 0x1FF if codec == bs_ops.BS_V2 else 0x3FF
+
+    coefs = _frames_to_coefs(frames, width, height)
+    out = bs_ops.encode_frames_symbols(coefs, budgets, codec=codec)
+
+    def pack_one(codes, bits):
+        codes = jnp.concatenate([codes.reshape(-1),
+                                 jnp.array([eof], jnp.uint32)])
+        bits = jnp.concatenate([bits.reshape(-1).astype(jnp.int32),
+                                jnp.array([10], jnp.int32)])
+        return bitpack_ops.pack_bits(codes, bits,
+                                     capacity_words=capacity_words)
+
+    words, total_bits = jax.vmap(pack_one)(out["codes"], out["bits"])
+    # uint16 halves the device->host payload; '<u2'.tobytes() is the
+    # on-disk little-endian layout directly.
+    return {"scale": out["scale"], "words": words.astype(jnp.uint16),
+            "total_bits": total_bits, "nz_count": out["nz_count"]}

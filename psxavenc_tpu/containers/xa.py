@@ -64,7 +64,8 @@ class XaAudioSectors:
     psx_audio_encoder_state_t does.
     """
 
-    def __init__(self, args, pcm_interleaved, lengths):
+    def __init__(self, args, pcm_interleaved, lengths, prev1=None,
+                 prev2=None):
         self.args = args
         ch = args.audio_channels
         stereo = ch == 2
@@ -74,6 +75,10 @@ class XaAudioSectors:
         self.bits8 = bits8
         S = len(lengths)
         self.count = S
+        self.final_state = (np.zeros(ch, np.int32), np.zeros(ch, np.int32))
+        if prev1 is not None:
+            self.final_state = (np.asarray(prev1, np.int32).copy(),
+                                np.asarray(prev2, np.int32).copy())
         if S == 0:
             self.payloads = np.zeros((0, 2304), np.uint8)
             return
@@ -88,11 +93,15 @@ class XaAudioSectors:
         offsets = (prefix[:, None] + k[None, :]).reshape(-1)
         limits = (np.asarray(lengths)[:, None] - k[None, :]).reshape(-1)
         B = chans.shape[0]
-        headers, nibbles, _, _ = streams.encode_unit_streams(
+        p1 = None if prev1 is None else np.asarray(prev1, np.int32)
+        p2 = None if prev2 is None else np.asarray(prev2, np.int32)
+        headers, nibbles, f1, f2 = streams.encode_unit_streams(
             chans, np.broadcast_to(offsets, (B, len(offsets))),
             np.broadcast_to(limits, (B, len(limits))),
             ops.XA_FILTER_COUNT,
-            ops.SHIFT_RANGE_8BPS if bits8 else ops.SHIFT_RANGE_4BPS)
+            ops.SHIFT_RANGE_8BPS if bits8 else ops.SHIFT_RANGE_4BPS,
+            prev1=p1, prev2=p2)
+        self.final_state = (f1, f2)
 
         # Arrange into block-unit encode order (adpcm.c:202-231): stereo
         # interleaves L/R per unit pair, mono is sequential.

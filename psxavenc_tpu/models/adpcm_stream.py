@@ -53,10 +53,10 @@ def encode_unit_streams(channel_samples, offsets, limits, filter_count,
       limits: (B, T) int64 per-unit limits (values > 28 behave as 28,
         values <= 0 mask the whole unit).
     Returns:
-      headers (B, T) uint8, nibbles (B, T, 28) uint8, final state arrays.
-      (The returned state reflects bucket-padding units and is only
-      meaningful when T is a power of two; containers encode whole files in
-      one call and do not consume it.)
+      headers (B, T) uint8, nibbles (B, T, 28) uint8, and the exact
+      decoder state (prev1, prev2) after the last real unit (bucket
+      padding cannot affect it: per-unit states are captured inside the
+      scan and sliced at T-1).
     """
     channel_samples = np.asarray(channel_samples)
     B, N = channel_samples.shape
@@ -87,14 +87,16 @@ def encode_unit_streams(channel_samples, offsets, limits, filter_count,
         prev1 = np.zeros(B, np.int32)
     if prev2 is None:
         prev2 = np.zeros(B, np.int32)
-    headers, nibbles, p1, p2 = ops.encode_units_scan(
+    headers, nibbles, s1, s2 = ops.encode_units_scan(
         jnp.asarray(units), jnp.asarray(lim), jnp.asarray(prev1),
         jnp.asarray(prev2), filter_count=filter_count,
         shift_range=shift_range)
     headers = np.asarray(headers)[:, :T]
     nibbles = np.asarray(nibbles)[:, :T]
+    s1 = np.asarray(s1)
+    s2 = np.asarray(s2)
     return (headers.astype(np.uint8), nibbles.astype(np.uint8),
-            np.asarray(p1), np.asarray(p2))
+            s1[:, T - 1], s2[:, T - 1])
 
 
 def pack_spu_blocks(headers, nibbles, flags=None):

@@ -194,8 +194,11 @@ def encode_units_scan(samples, limits, prev1, prev2, *, filter_count,
             lambda a, b, c, d: encode_unit(a, b, c, d, filter_count,
                                            shift_range)
         )(p1, p2, s, lim)
-        return (np1, np2), (h, nib)
+        return (np1, np2), (h, nib, np1, np2)
 
     xs = (jnp.swapaxes(samples, 0, 1), jnp.swapaxes(limits, 0, 1))
-    (p1, p2), (headers, nibbles) = jax.lax.scan(step, (prev1, prev2), xs)
-    return (jnp.swapaxes(headers, 0, 1), jnp.swapaxes(nibbles, 0, 1), p1, p2)
+    _, (headers, nibbles, s1, s2) = jax.lax.scan(step, (prev1, prev2), xs)
+    # Per-unit states let callers recover exact decoder state at any unit
+    # (bucket padding appends masked units whose state must be ignored).
+    return (jnp.swapaxes(headers, 0, 1), jnp.swapaxes(nibbles, 0, 1),
+            jnp.swapaxes(s1, 0, 1), jnp.swapaxes(s2, 0, 1))

@@ -172,6 +172,50 @@ def _div_rounded(n, d):
     return jnp.where(n < 0, -q, q)
 
 
+def ac_bits_closed_form(run, mag):
+    """AC Huffman code length as arithmetic on (run, |level|).
+
+    TPU gathers from the 64K LUT dominate the scale sweep (~75x the rest of
+    the compute), so the bit-length function — all the sweep needs — is
+    expressed as a closed-form step function over the MDEC code table
+    instead: ~50 VPU compare/add ops, no memory traffic. Verified
+    exhaustively against the LUT in tests/test_bs_ops.py. Escape codes
+    (anything outside the table) are 6+16 = 22 bits (mdec.c:258).
+    """
+    r = run
+    a = mag
+
+    def ge(x, t):
+        return (x >= t).astype(jnp.int32)
+
+    b1 = (3 + ge(r, 1) + ge(r, 2) + ge(r, 3) + ge(r, 5) + ge(r, 8)
+          + ge(r, 10) + 2 * ge(r, 14) + 2 * ge(r, 17) + ge(r, 22)
+          + 3 * ge(r, 27))
+    b1 = jnp.where(r > 31, 22, b1)
+    b2 = (5 + 2 * ge(r, 1) + ge(r, 2) + ge(r, 3) + 2 * ge(r, 4)
+          + 2 * ge(r, 6) + ge(r, 9) + 3 * ge(r, 11))
+    b2 = jnp.where(r > 16, 22, b2)
+    b3 = 6 + 3 * ge(r, 1) + 2 * ge(r, 2) + 2 * ge(r, 3) + ge(r, 5) \
+        + 3 * ge(r, 6)
+    b3 = jnp.where(r > 6, 22, b3)
+    b4 = jnp.where(r > 3, 22, 8 + 3 * ge(r, 1) + 2 * ge(r, 2) + ge(r, 3))
+    b5 = jnp.where(r > 2, 22, 9 + 4 * ge(r, 1) + ge(r, 2))
+    b6 = jnp.where(r > 1, 22, 9 + 5 * ge(r, 1))
+    b7 = jnp.where(r > 1, 22, 11 + 3 * ge(r, 1))
+    big0 = jnp.where(a <= 40, 13 + ge(a, 12) + ge(a, 16) + ge(a, 32), 22)
+    big1 = jnp.where(a <= 18, 16 + ge(a, 15), 22)
+    big = jnp.where(r == 0, big0, jnp.where(r == 1, big1, 22))
+
+    bits = jnp.where(
+        a == 1, b1, jnp.where(
+            a == 2, b2, jnp.where(
+                a == 3, b3, jnp.where(
+                    a == 4, b4, jnp.where(
+                        a == 5, b5, jnp.where(
+                            a == 6, b6, jnp.where(a == 7, b7, big)))))))
+    return bits
+
+
 def dc_chain(dc, codec):
     """BS v3/v3dc DC delta chain (mdec.c:455-480). ``dc`` is the clamped
     quantized DC per block in encode order; returns delta & 0x1FF keys.
@@ -196,80 +240,146 @@ def dc_chain(dc, codec):
     return deltas & 0x1FF, types
 
 
+def _div_rounded_fast(n, d):
+    """Exact round-half-away-from-zero n/d via f32 reciprocal + integer
+    correction (integer division by runtime divisors is very slow on TPU).
+
+    Valid for |n| < 2^17 and 1 <= d <= 2^13: the f32 estimate of
+    (|n| + d//2)/d is within 0.001 of exact, so one remainder check fixes
+    the floor. Exactness covered by tests/test_bs_ops.py.
+    """
+    an = jnp.abs(n)
+    t = an + (d >> 1)
+    q0 = (t.astype(jnp.float32) * (1.0 / d.astype(jnp.float32))).astype(
+        jnp.int32)
+    r = t - q0 * d
+    q = q0 + (r >= d).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    return jnp.where(n < 0, -q, q)
+
+
+def _ac_quant(c, qs):
+    """Quantize+clamp the AC positions by divisors qs broadcastable to
+    c."""
+    return _clamp_coeff(_div_rounded_fast(c, qs))
+
+
+def _runs(nz, axis):
+    """Zero-run length before each nonzero scan position along ``axis``
+    (size 63, scan positions 1..63)."""
+    nd = nz.ndim
+    shape = [1] * nd
+    shape[axis] = 63
+    posb = jnp.arange(1, 64, dtype=jnp.int32).reshape(shape)
+    nzpos = jnp.where(nz, posb, 0)
+    prev_incl = jax.lax.cummax(nzpos, axis=axis)
+    sl = [slice(None)] * nd
+    sl[axis] = slice(0, -1)
+    zshape = list(nz.shape)
+    zshape[axis] = 1
+    prev_excl = jnp.concatenate(
+        [jnp.zeros(zshape, jnp.int32), prev_incl[tuple(sl)]], axis=axis)
+    return posb - prev_excl - 1
+
+
 @partial(jax.jit, static_argnames=("codec",))
-def encode_frame_symbols(coefs, frame_max_size, *, codec):
-    """Quantize + symbolize one frame at the reference-chosen scale.
+def encode_frames_symbols(coefs, frame_max_sizes, *, codec):
+    """Quantize + symbolize a batch of frames at reference-chosen scales.
 
     Args:
-      coefs: (NB, 64) int32 FDCT output in encode order (6 blocks per MB,
-        MBs column-major).
-      frame_max_size: int32 scalar frame byte budget.
+      coefs: (B, NB, 64) int32 FDCT output in encode order (6 blocks per
+        MB, MBs column-major).
+      frame_max_sizes: (B,) int32 per-frame byte budgets.
       codec: BS_V2 | BS_V3 | BS_V3DC (static).
 
-    Returns dict of device arrays:
-      scale: chosen quant scale (int32; 64 if nothing fits — caller errors),
-      codes/bits: (NB, 65) symbol stream per block (DC, 63 ACs, EOB),
-      nz_count: nonzero AC count at the chosen scale,
-      total_bits: exact bitstream length (without the final 10-bit EOF).
+    Returns dict of device arrays (leading axis B):
+      scale: chosen quant scales (64 where nothing fits — caller errors),
+      codes/bits: (B, NB, 65) symbol streams (DC, 63 ACs, EOB),
+      nz_count: nonzero AC counts at the chosen scales,
+      total_bits: exact bitstream lengths (without the final 10-bit EOF).
+
+    The 63-scale sweep runs as a fori_loop accumulating only per-scale bit
+    totals (the full (63, B, NB, 63) tensor never materializes), then the
+    winning scale is re-quantized once for symbol emission.
     """
-    nb = coefs.shape[0]
-    scales = jnp.arange(1, 64, dtype=jnp.int32)  # (63,)
+    B, nb, _ = coefs.shape
 
     # --- DC (scale-independent): quant by 8*quant[0] = 16 (mdec.c:671).
-    dc_q = _clamp_coeff(_div_rounded(coefs[:, 0], jnp.int32(16)))
+    dc_q = _clamp_coeff(_div_rounded(coefs[:, :, 0], jnp.int32(16)))
     if codec == BS_V2:
-        dc_bits = jnp.full((nb,), 10, jnp.int32)
+        dc_bits = jnp.full((B, nb), 10, jnp.int32)
         dc_code = (dc_q & 0x3FF).astype(jnp.uint32)
     else:
-        keys, types = dc_chain(dc_q, codec)
+        keys, types = jax.vmap(lambda d: dc_chain(d, codec))(dc_q)
         dc_bits = jnp.asarray(DC_BITS_LUT)[types, keys]
         dc_code = jnp.asarray(DC_CODE_LUT)[types, keys]
 
-    # --- AC at all 63 scales.
     zz = jnp.asarray(ZAGZIG[1:])           # (63,) block indices, scan order
-    c = coefs[:, zz]                       # (NB, 63)
-    q = jnp.asarray(QUANT_PSX)[zz]         # (63,)
-    qs = q[None, :] * scales[:, None]      # (63 scales, 63 pos)
-    ac = _clamp_coeff(_div_rounded(c[None, :, :], qs[:, None, :]))
-    # ac: (S, NB, 63)
+    # Layout (B, 63 positions, NB): the big MB axis sits on the TPU lane
+    # dimension (multiple of 128 for real frame sizes) instead of the
+    # 63-wide position axis.
+    c = coefs[:, :, zz].transpose(0, 2, 1)  # (B, 63, NB)
+    q = jnp.asarray(QUANT_PSX)[zz]          # (63,)
 
-    nz = ac != 0
-    pos = jnp.arange(1, 64, dtype=jnp.int32)  # scan positions 1..63
-    nzpos = jnp.where(nz, pos[None, None, :], 0)
-    prev_incl = jax.lax.cummax(nzpos, axis=2)
-    prev_excl = jnp.concatenate(
-        [jnp.zeros_like(prev_incl[:, :, :1]), prev_incl[:, :, :-1]], axis=2)
-    run = pos[None, None, :] - prev_excl - 1
-    key = (run << 10) | (ac & 0x3FF)
-    ac_bits = jnp.where(nz, jnp.asarray(AC_BITS_LUT)[key], 0)
+    def scale_body(i, acc):
+        bits_acc, nz_acc = acc
+        s = i + 1
+        ac = _ac_quant(c, (q * s)[None, :, None])
+        nz = ac != 0
+        run = _runs(nz, axis=1)
+        bits = jnp.where(nz, ac_bits_closed_form(run, jnp.abs(ac)), 0)
+        bits_acc = bits_acc.at[:, i].set(bits.sum(axis=(1, 2)))
+        nz_acc = nz_acc.at[:, i].set(nz.sum(axis=(1, 2)).astype(jnp.int32))
+        return bits_acc, nz_acc
 
-    # --- totals and scale choice.
-    per_scale_bits = ac_bits.sum(axis=(1, 2)) + dc_bits.sum() + 2 * nb + 10
+    bits_ps, nz_ps = jax.lax.fori_loop(
+        0, 63, scale_body,
+        (jnp.zeros((B, 63), jnp.int32), jnp.zeros((B, 63), jnp.int32)))
+
+    per_scale_bits = bits_ps + dc_bits.sum(axis=1)[:, None] + 2 * nb + 10
     total_bytes = 8 + 2 * ((per_scale_bits + 15) >> 4)
-    fits = total_bytes <= frame_max_size
-    scale_idx = jnp.argmax(fits)  # first fitting scale
-    scale = jnp.where(jnp.any(fits), scale_idx + 1, 64).astype(jnp.int32)
+    fits = total_bytes <= frame_max_sizes[:, None]
+    scale_idx = jnp.argmax(fits, axis=1)   # first fitting scale per frame
+    scale = jnp.where(jnp.any(fits, axis=1), scale_idx + 1, 64).astype(
+        jnp.int32)
 
-    # --- emit symbols for the chosen scale.
-    ac_w = jnp.take(ac, scale_idx, axis=0)          # (NB, 63)
+    # --- emit symbols for the chosen scale (the only place the 64K code
+    # LUT is gathered: 63x less traffic than gathering inside the sweep).
+    qs_w = q[None, :] * (scale_idx + 1)[:, None]        # (B, 63)
+    ac_w = _ac_quant(c, qs_w[:, :, None])               # (B, 63, NB)
     nz_w = ac_w != 0
-    key_w = jnp.take(key, scale_idx, axis=0)
-    bits_w = jnp.where(nz_w, jnp.asarray(AC_BITS_LUT)[key_w], 0)
+    run_w = _runs(nz_w, axis=1)
+    key_w = (run_w << 10) | (ac_w & 0x3FF)
+    bits_w = jnp.where(nz_w, ac_bits_closed_form(run_w, jnp.abs(ac_w)), 0)
     code_w = jnp.where(nz_w, jnp.asarray(AC_CODE_LUT)[key_w], 0)
+    # Back to (B, NB, 63) for symbol-stream assembly.
+    ac_w = ac_w.transpose(0, 2, 1)
+    nz_w = nz_w.transpose(0, 2, 1)
+    bits_w = bits_w.transpose(0, 2, 1)
+    code_w = code_w.transpose(0, 2, 1)
 
-    eob_bits = jnp.full((nb, 1), 2, jnp.int32)
-    eob_code = jnp.full((nb, 1), 0x2, jnp.uint32)
-    bits = jnp.concatenate([dc_bits[:, None], bits_w, eob_bits], axis=1)
-    codes = jnp.concatenate([dc_code[:, None].astype(jnp.uint32),
-                             code_w.astype(jnp.uint32), eob_code], axis=1)
+    eob_bits = jnp.full((B, nb, 1), 2, jnp.int32)
+    eob_code = jnp.full((B, nb, 1), 0x2, jnp.uint32)
+    bits = jnp.concatenate([dc_bits[..., None], bits_w, eob_bits], axis=2)
+    codes = jnp.concatenate([dc_code[..., None].astype(jnp.uint32),
+                             code_w.astype(jnp.uint32), eob_code], axis=2)
 
     return {
         "scale": scale,
         "codes": codes,
         "bits": bits,
-        "nz_count": nz_w.sum().astype(jnp.int32),
-        "total_bits": jnp.take(per_scale_bits, scale_idx),
+        "nz_count": nz_w.sum(axis=(1, 2)).astype(jnp.int32),
+        "total_bits": jnp.take_along_axis(per_scale_bits,
+                                          scale_idx[:, None],
+                                          axis=1)[:, 0],
     }
+
+
+def encode_frame_symbols(coefs, frame_max_size, *, codec):
+    """Single-frame wrapper over :func:`encode_frames_symbols`."""
+    out = encode_frames_symbols(coefs[None], jnp.asarray(frame_max_size,
+                                                         jnp.int32)[None],
+                                codec=codec)
+    return {k: v[0] for k, v in out.items()}
 
 
 def rearrange_nv21_frame(frame, width, height):

@@ -1,0 +1,71 @@
+"""Multi-chip scaling: batch-axis sharding over a device mesh.
+
+The encoder's compute is embarrassingly parallel across streams and frames
+(SURVEY §2.2): codec state threads only along time *within* a stream, so a
+1-D mesh sharding the batch axis scales without any compute-path
+collectives. Shardings are declared with NamedSharding/PartitionSpec and
+jit inserts the data movement; the only collective is a tiny psum of
+per-shard statistics (encoded sizes, quant-scale sums) so callers get
+global aggregates without gathering payloads to one host.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import api
+from ..ops import bs as bs_ops
+
+BATCH_AXIS = "batch"
+
+
+def make_mesh(devices=None):
+    """1-D device mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    import numpy as np
+
+    return Mesh(np.array(devices), (BATCH_AXIS,))
+
+
+def shard_batch(mesh, array):
+    """Place ``array`` with its leading axis sharded over the mesh."""
+    return jax.device_put(array, NamedSharding(mesh, P(BATCH_AXIS)))
+
+
+def _replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def encode_step_sharded(mesh, *, codec, width, height):
+    """Build the full batched A/V encode step, jitted over the mesh.
+
+    The step consumes a batch of video frames and a batch of audio unit
+    streams (both sharded on the leading axis) and produces per-item
+    encoder outputs plus globally-reduced statistics. This is the
+    "training step" analog for this framework: one fused device program
+    covering both codec families.
+    """
+    batch = NamedSharding(mesh, P(BATCH_AXIS))
+    repl = _replicated(mesh)
+
+    @partial(jax.jit,
+             in_shardings=(batch, batch, batch, batch, batch, batch),
+             out_shardings=(batch, batch, batch, batch, repl))
+    def step(frames, budgets, units, limits, prev1, prev2):
+        video = api.bs_encode_frames(frames, budgets, codec=codec,
+                                     width=width, height=height)
+        headers, nibbles, p1, p2 = api.spu_encode_batch(units, limits,
+                                                        prev1, prev2)
+        # Global aggregates ride a cross-chip reduction (the only
+        # collective the algorithm needs).
+        stats = jnp.stack([
+            jnp.sum(video["total_bits"]),
+            jnp.sum(video["scale"]),
+            jnp.sum(headers.astype(jnp.int32) & 0xF),
+        ])
+        return video["codes"], video["bits"], headers, nibbles, stats
+
+    return step

@@ -39,7 +39,8 @@ def test_encode_unit_matches_model(filter_count, shift_range):
         jnp.asarray(samples), jnp.asarray(limits), jnp.asarray(p1),
         jnp.asarray(p2), filter_count=filter_count, shift_range=shift_range)
     hdrs, nibs = np.asarray(hdrs), np.asarray(nibs)
-    fp1, fp2 = np.asarray(fp1), np.asarray(fp2)
+    # Per-unit states; the final state is at the last unit.
+    fp1, fp2 = np.asarray(fp1)[:, -1], np.asarray(fp2)[:, -1]
 
     for b in range(B):
         st = states[b]

@@ -1,0 +1,56 @@
+"""BS op-level tests: closed-form bit lengths vs the LUT, clamp/rounding."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from psxavenc_tpu.ops import bs
+
+
+def test_ac_bits_closed_form_exhaustive():
+    runs = np.arange(0, 63)
+    mags = np.arange(1, 513)
+    r, a = np.meshgrid(runs, mags, indexing="ij")
+    got = np.asarray(bs.ac_bits_closed_form(jnp.asarray(r),
+                                            jnp.asarray(a)))
+    # LUT keyed by (run<<10)|(level & 0x3FF), covering both signs.
+    for sign in (1, -1):
+        key = (r << 10) | ((sign * a) & 0x3FF)
+        want = bs.AC_BITS_LUT[key]
+        assert np.array_equal(got, want), \
+            np.argwhere(got != want)[:5]
+
+
+def test_div_rounded_half_away():
+    n = jnp.asarray(np.arange(-10000, 10000, 7))
+    for d in (2, 3, 16, 83 * 63):
+        got = np.asarray(bs._div_rounded(n, jnp.int32(d)))
+        want = np.asarray([round(float(v) / d) for v in np.asarray(n)])
+        # Python round() is half-even; emulate C round() half-away.
+        want = np.sign(np.asarray(n)) * \
+            ((np.abs(np.asarray(n)) + d // 2) // d)
+        assert np.array_equal(got, want)
+
+
+def test_clamp_coeff():
+    x = jnp.asarray(np.arange(-40000, 40000, 13))
+    got = np.asarray(bs._clamp_coeff(x))
+    w = ((np.arange(-40000, 40000, 13) & 0xFFFF) ^ 0x8000) - 0x8000
+    want = np.clip(w, -0x200, 0x1FE)
+    assert np.array_equal(got, want)
+
+def test_div_rounded_fast_exact():
+    """The f32-reciprocal division must be exact over the full operating
+    range: |n| <= 32767 (int16 coefficients), d in the quant divisor set."""
+    rng = np.random.default_rng(0)
+    n = np.concatenate([
+        np.arange(-32768, 32768, 97),
+        rng.integers(-32768, 32768, 5000),
+    ])
+    divisors = sorted({int(q) * s for q in bs.QUANT_PSX
+                       for s in range(1, 64)} | {16})
+    nj = jnp.asarray(n)
+    for d in divisors[::7] + [divisors[0], divisors[-1]]:
+        got = np.asarray(bs._div_rounded_fast(nj, jnp.int32(d)))
+        want = np.asarray(bs._div_rounded(nj, jnp.int32(d)))
+        assert np.array_equal(got, want), d
