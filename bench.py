@@ -87,7 +87,7 @@ def _timed_loop(fn, min_seconds=2.0, max_iters=200):
             return iters, dt
 
 
-def measure_ours_video(batch=64):
+def measure_ours_video(batch=128):
     import jax
     from psxavenc_tpu import api
     from psxavenc_tpu.io.ingest import _scale_frame_nv21
@@ -114,9 +114,27 @@ def measure_ours_video(batch=64):
         np.asarray(out["scale"])
 
     # The axon tunnel pays a large one-time setup cost on the first
-    # device->host transfer; warm it before timing.
+    # device->host transfer; warm it before timing. Then pipeline: fetch
+    # iteration k-1 while the device computes iteration k.
     run()
-    iters, dt = _timed_loop(run)
+
+    def launch():
+        return api.bs_encode_frames_packed(
+            dev_frames, dev_budgets, codec=bs_ops.BS_V2, width=VIDEO_W,
+            height=VIDEO_H, capacity_words=cap)
+
+    prev = launch()
+    t0 = time.monotonic()
+    iters = 0
+    while True:
+        cur = launch()
+        np.asarray(prev["words"])
+        np.asarray(prev["scale"])
+        prev = cur
+        iters += 1
+        dt = time.monotonic() - t0
+        if dt >= 2.0 or iters >= 200:
+            break
     return batch * iters / dt
 
 
@@ -140,7 +158,17 @@ def measure_ours_audio(batch=4096, t_units=64):
         np.asarray(blocks)
 
     run()  # transfer-path warmup
-    iters, dt = _timed_loop(run)
+    prev, _, _ = api.spu_encode_blocks(*d)
+    t0 = time.monotonic()
+    iters = 0
+    while True:
+        cur, _, _ = api.spu_encode_blocks(*d)
+        np.asarray(prev)
+        prev = cur
+        iters += 1
+        dt = time.monotonic() - t0
+        if dt >= 2.0 or iters >= 200:
+            break
     return batch * t_units * 28 * iters / dt / 1e6
 
 

@@ -2,10 +2,11 @@
 
 The reference (psxavenc/mdec.c:580-755) finds the quantization scale by
 re-encoding the whole frame at scale 1, 2, ... until the bitstream fits the
-frame budget. TPU-native formulation: quantize every coefficient at ALL 63
-scales in one batched pass, compute each scale's exact bitstream length with
-LUT gathers (Huffman code lengths), and select the first scale that fits —
-provably the same choice, without the serial retry loop. Only the winning
+frame budget. TPU-native formulation: cost whole batches of
+frames at many scales at once — exact Huffman bit lengths in closed form
+(no table gathers on the hot path), scales evaluated 8 at a time with an
+early exit once every frame fits — and select the first fitting scale,
+provably the same choice as the serial retry loop. Only the winning
 scale's symbols leave the device.
 
 Bit/byte accounting matches mdec.c exactly:
@@ -320,22 +321,51 @@ def encode_frames_symbols(coefs, frame_max_sizes, *, codec):
     c = coefs[:, :, zz].transpose(0, 2, 1)  # (B, 63, NB)
     q = jnp.asarray(QUANT_PSX)[zz]          # (63,)
 
-    def scale_body(i, acc):
-        bits_acc, nz_acc = acc
-        s = i + 1
-        ac = _ac_quant(c, (q * s)[None, :, None])
-        nz = ac != 0
-        run = _runs(nz, axis=1)
-        bits = jnp.where(nz, ac_bits_closed_form(run, jnp.abs(ac)), 0)
-        bits_acc = bits_acc.at[:, i].set(bits.sum(axis=(1, 2)))
-        nz_acc = nz_acc.at[:, i].set(nz.sum(axis=(1, 2)).astype(jnp.int32))
-        return bits_acc, nz_acc
+    dc_total = dc_bits.sum(axis=1)
 
-    bits_ps, nz_ps = jax.lax.fori_loop(
-        0, 63, scale_body,
-        (jnp.zeros((B, 63), jnp.int32), jnp.zeros((B, 63), jnp.int32)))
+    # Chunked early-exit sweep: scales are costed 8 at a time in order and
+    # the loop stops once every frame has found a fitting scale — the
+    # typical frame fits within the first chunk or two, like the
+    # reference's retry loop usually stops early. Uncomputed scales carry
+    # a sentinel that can never fit, so the selection below is identical
+    # to a full sweep.
+    CHUNK = 8
+    sentinel = jnp.int32(1 << 29)
 
-    per_scale_bits = bits_ps + dc_bits.sum(axis=1)[:, None] + 2 * nb + 10
+    def chunk_cond(state):
+        ci, bits_ps, _ = state
+        computed = jnp.arange(63) < ci * CHUNK
+        total_bytes = 8 + 2 * ((bits_ps + dc_total[:, None] + 2 * nb + 10
+                                + 15) >> 4)
+        fits_any = jnp.any((total_bytes <= frame_max_sizes[:, None])
+                           & computed[None, :], axis=1)
+        return (ci < (63 + CHUNK - 1) // CHUNK) & ~jnp.all(fits_any)
+
+    def chunk_body(state):
+        ci, bits_ps, nz_ps = state
+        for k in range(CHUNK):
+            i = ci * CHUNK + k
+            valid = i < 63
+            idx = jnp.minimum(i, 62)
+            s = i + 1
+            ac = _ac_quant(c, (q * jnp.minimum(s, 63))[None, :, None])
+            nz = ac != 0
+            run = _runs(nz, axis=1)
+            bits = jnp.where(nz, ac_bits_closed_form(run, jnp.abs(ac)), 0)
+            bsum = bits.sum(axis=(1, 2))
+            nsum = nz.sum(axis=(1, 2)).astype(jnp.int32)
+            bits_ps = bits_ps.at[:, idx].set(
+                jnp.where(valid, bsum, bits_ps[:, idx]))
+            nz_ps = nz_ps.at[:, idx].set(
+                jnp.where(valid, nsum, nz_ps[:, idx]))
+        return ci + 1, bits_ps, nz_ps
+
+    _, bits_ps, nz_ps = jax.lax.while_loop(
+        chunk_cond, chunk_body,
+        (jnp.int32(0), jnp.full((B, 63), sentinel, jnp.int32),
+         jnp.zeros((B, 63), jnp.int32)))
+
+    per_scale_bits = bits_ps + dc_total[:, None] + 2 * nb + 10
     total_bytes = 8 + 2 * ((per_scale_bits + 15) >> 4)
     fits = total_bytes <= frame_max_sizes[:, None]
     scale_idx = jnp.argmax(fits, axis=1)   # first fitting scale per frame
