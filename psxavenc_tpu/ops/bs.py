@@ -222,22 +222,64 @@ def dc_chain(dc, codec):
     quantized DC per block in encode order; returns delta & 0x1FF keys.
 
     Scale-independent (DC quant is always 8*quant[0]), so computed once per
-    frame. Sequential across blocks via scan (cheap: one step per block).
+    frame. Reference semantics: per block type (Cr/Cb/Y), delta =
+    round_half_away((dc - last)/4), last += 4*delta.
+
+    Log-depth formulation: ``last`` stays a multiple of 4, so each block's
+    update is ``last' = f(last)`` where f is a *threshold function* —
+    a constant when dc % 4 != 2, and (last < dc ? dc+2 : dc-2) on the exact
+    half (dc % 4 == 2). Threshold functions are closed under composition,
+    so the three interleaved chains run as associative scans instead of an
+    NB-step sequential scan. Verified against the sequential reference
+    model in tests/test_bs_ops.py.
     """
     nb = dc.shape[0]
+    mb = nb // 6
     types = jnp.minimum(jnp.arange(nb, dtype=jnp.int32) % 6, 2)
 
-    def step(last, xs):
-        d, t = xs
-        lastv = last[t]
-        delta = _div_rounded(d - lastv, jnp.int32(4))
-        last = last.at[t].set(lastv + delta * 4)
-        if codec == BS_V3DC:
-            delta = jnp.where(delta < -0x80, delta + 0x100, delta)
-            delta = jnp.where(delta > 0x80, delta - 0x100, delta)
-        return last, delta
+    grid = dc.reshape(mb, 6)
+    cr = grid[:, 0]
+    cb = grid[:, 1]
+    y = grid[:, 2:].reshape(-1)
+    pad = 4 * mb
+    neg_inf = jnp.int32(-(1 << 31) + 1)
 
-    _, deltas = jax.lax.scan(step, jnp.zeros(3, jnp.int32), (dc, types))
+    def elems(d, n):
+        r = d & 3
+        const = jnp.where(r == 0, d, jnp.where(r == 1, d - 1, d + 1))
+        t = jnp.where(r == 2, d, neg_inf)
+        a = jnp.where(r == 2, d + 2, const)
+        b = jnp.where(r == 2, d - 2, const)
+        z = jnp.zeros(pad - n, jnp.int32)
+        # End-padding with constant elements does not disturb prefixes.
+        return (jnp.concatenate([t, neg_inf + z]),
+                jnp.concatenate([a, z]), jnp.concatenate([b, z]))
+
+    t3, a3, b3 = (jnp.stack(v) for v in zip(elems(cr, mb), elems(cb, mb),
+                                            elems(y, 4 * mb)))
+
+    def compose(p, q):
+        # apply p first, then q: q(p(x)) as a threshold function of x.
+        tp, ap, bp = p
+        tq, aq, bq = q
+        return (tp, jnp.where(ap < tq, aq, bq), jnp.where(bp < tq, aq, bq))
+
+    tt, ta, tb = jax.lax.associative_scan(compose, (t3, a3, b3), axis=1)
+    # prefix_k(0): last value AFTER block k of each chain.
+    last_after = jnp.where(0 < tt, ta, tb)
+    last_before = jnp.concatenate(
+        [jnp.zeros((3, 1), jnp.int32), last_after[:, :-1]], axis=1)
+    deltas3 = (last_after - last_before) >> 2
+
+    d_cr = deltas3[0, :mb]
+    d_cb = deltas3[1, :mb]
+    d_y = deltas3[2].reshape(mb, 4)
+    deltas = jnp.concatenate(
+        [d_cr[:, None], d_cb[:, None], d_y], axis=1).reshape(-1)
+
+    if codec == BS_V3DC:
+        deltas = jnp.where(deltas < -0x80, deltas + 0x100, deltas)
+        deltas = jnp.where(deltas > 0x80, deltas - 0x100, deltas)
     return deltas & 0x1FF, types
 
 

@@ -1,6 +1,7 @@
 """BS op-level tests: closed-form bit lengths vs the LUT, clamp/rounding."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -54,3 +55,36 @@ def test_div_rounded_fast_exact():
         got = np.asarray(bs._div_rounded_fast(nj, jnp.int32(d)))
         want = np.asarray(bs._div_rounded(nj, jnp.int32(d)))
         assert np.array_equal(got, want), d
+
+
+def _dc_chain_model(dc, v3dc):
+    """Sequential reference semantics (mdec.c:455-480)."""
+    last = [0, 0, 0]
+    out = []
+    for k, d in enumerate(dc):
+        t = min(k % 6, 2)
+        n, dd = int(d) - last[t], 4
+        q = (abs(n) + 2) // 4
+        delta = q if n >= 0 else -q
+        last[t] += delta * 4
+        if v3dc:
+            if delta < -0x80:
+                delta += 0x100
+            elif delta > 0x80:
+                delta -= 0x100
+        out.append(delta & 0x1FF)
+    return out
+
+
+@pytest.mark.parametrize("v3dc", [False, True])
+def test_dc_chain_matches_sequential(v3dc):
+    rng = np.random.default_rng(4)
+    for trial in range(4):
+        nb = 6 * int(rng.integers(1, 80))
+        dc = rng.integers(-512, 511, nb).astype(np.int32)
+        codec = bs.BS_V3DC if v3dc else bs.BS_V3
+        keys, types = bs.dc_chain(jnp.asarray(dc), codec)
+        want = _dc_chain_model(dc, v3dc)
+        assert np.asarray(keys).tolist() == want, trial
+        assert np.array_equal(np.asarray(types),
+                              np.minimum(np.arange(nb) % 6, 2))
