@@ -82,6 +82,13 @@ def main(argv=None):
               file=sys.stderr)
         return 1
 
+    # Optional profiling (SURVEY §5: the reference has only wall-clock
+    # progress lines; we add a real device profile behind an env switch).
+    profile_dir = os.environ.get("PSXAVENC_PROFILE")
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
     try:
         return _dispatch(args, dec, output)
     except (RuntimeError, NotImplementedError) as e:
@@ -89,6 +96,12 @@ def main(argv=None):
         return 1
     finally:
         output.close()
+        if profile_dir:
+            import jax
+
+            jax.profiler.stop_trace()
+            if not (args.flags & ca.FLAG_QUIET):
+                print(f"Profile written to {profile_dir}", file=sys.stderr)
 
 
 def _dispatch(args, dec, output):

@@ -347,31 +347,33 @@ USAGE = """Usage:
     psxavenc -t sbs                      [bs-options] [sbs-options] <in> <out.sbs>
 """
 
-HELP = USAGE + """
-General options:
+_GENERAL_HELP = """General options:
     -h                Show this help message and exit
     -V                Show version information and exit
     -q                Suppress all non-error messages
     -t format         Select the output format (shown above)
     -R key=value,...  Resampler options (accepted for compatibility)
     -S key=value,...  Scaler options (accepted for compatibility)
+"""
 
-XA-ADPCM options:
+_XA_HELP = """XA-ADPCM options:
     -f 18900|37800    Sample rate (default 37800)
     -c 1|2            Channel count (default 2)
     -b 4|8            Bit depth (default 4)
     -F 0-255          CD-XA file number (default 0)
     -C 0-31           CD-XA channel number (default 0)
+"""
 
-SPU-ADPCM options (spu/vag):
+_SPU_HELP = """Mono SPU-ADPCM options:
     -f freq           Sample rate (default 44100)
     -a size           Pad audio data to a multiple of this size (default 64)
     -l ms             Loop point in milliseconds (overrides input file's)
     -n                Disable looping entirely
     -L                Set the loop end flag without adding a loop point
     -D                Skip the leading silent block
+"""
 
-Interleaved SPU-ADPCM options (spui/vagi):
+_SPUI_HELP = """Interleaved SPU-ADPCM options:
     -f freq           Sample rate (default 44100)
     -c channels       Channel count (default 2)
     -i size           Channel interleave size (default 2048)
@@ -379,22 +381,74 @@ Interleaved SPU-ADPCM options (spui/vagi):
     -l ms | -n        Loop point control for the header
     -L                Set the loop end flag at each chunk's end
     -D                Skip the leading silent block
+"""
 
-Video options:
+_BS_HELP = """Video options:
     -v v2|v3|v3dc     BS codec version (default v2)
     -s WxH            Target size, 16x16-640x512, 16-px steps (default 320x240)
     -I                Stretch without preserving the aspect ratio
+"""
 
-.str container options:
+_STR_HELP = """.str container options:
     -r num[/den]      Frame rate (default 15)
     -x 1|2            CD-ROM speed (default 2)
     -T id             Video sector type ID (default 0x8001)
     -A id             Audio sector type ID (default 0x0001)
     -X                Put audio sectors after their video sectors
+"""
 
-.sbs container options:
+_SBS_HELP = """.sbs container options:
     -a size           Size of each video frame (default 8192)
 """
+
+# Per-format usage line + help sections (args.c:521-619 wiring).
+_FORMAT_USAGE = {
+    FORMAT_XA: "psxavenc -t xa [xa-options] <in> <out.xa>",
+    FORMAT_XACD: "psxavenc -t xacd [xa-options] <in> <out.xa>",
+    FORMAT_SPU: "psxavenc -t spu [spu-options] <in> <out>",
+    FORMAT_VAG: "psxavenc -t vag [spu-options] <in> <out.vag>",
+    FORMAT_SPUI: "psxavenc -t spui [spui-options] <in> <out>",
+    FORMAT_VAGI: "psxavenc -t vagi [spui-options] <in> <out.vag>",
+    FORMAT_STR:
+        "psxavenc -t str [xa-options] [bs-options] [str-options] "
+        "<in> <out.str>",
+    FORMAT_STRCD:
+        "psxavenc -t strcd [xa-options] [bs-options] [str-options] "
+        "<in> <out.str>",
+    FORMAT_STRSPU:
+        "psxavenc -t strspu [spui-options] [bs-options] [str-options] "
+        "<in> <out.str>",
+    FORMAT_STRV:
+        "psxavenc -t strv [bs-options] [str-options] <in> <out.str>",
+    FORMAT_SBS:
+        "psxavenc -t sbs [bs-options] [sbs-options] <in> <out.sbs>",
+}
+
+_FORMAT_HELP_SECTIONS = {
+    FORMAT_XA: [_XA_HELP],
+    FORMAT_XACD: [_XA_HELP],
+    FORMAT_SPU: [_SPU_HELP],
+    FORMAT_VAG: [_SPU_HELP],
+    FORMAT_SPUI: [_SPUI_HELP],
+    FORMAT_VAGI: [_SPUI_HELP],
+    FORMAT_STR: [_XA_HELP, _BS_HELP, _STR_HELP],
+    FORMAT_STRCD: [_XA_HELP, _BS_HELP, _STR_HELP],
+    FORMAT_STRSPU: [_SPUI_HELP, _BS_HELP, _STR_HELP],
+    FORMAT_STRV: [_BS_HELP, _STR_HELP],
+    FORMAT_SBS: [_BS_HELP, _SBS_HELP],
+}
+
+
+def print_help(fmt):
+    """Full help, or format-scoped help after -t (args.c:651-681)."""
+    if fmt == FORMAT_INVALID:
+        print(USAGE + "\n" + "\n".join(
+            [_GENERAL_HELP, _XA_HELP, _SPU_HELP, _SPUI_HELP, _BS_HELP,
+             _STR_HELP, _SBS_HELP]), end="")
+        return
+    sections = "\n".join(_FORMAT_HELP_SECTIONS[fmt])
+    print(f"Usage:\n    {_FORMAT_USAGE[fmt]}\n\n{_GENERAL_HELP}\n"
+          f"{sections}", end="")
 
 
 def parse_args(args, options):
@@ -431,7 +485,7 @@ def parse_args(args, options):
         i += 1
 
     if args.flags & FLAG_PRINT_HELP:
-        print(HELP, end="")
+        print_help(args.format)
         return False
     if args.flags & FLAG_PRINT_VERSION:
         from . import __version__
