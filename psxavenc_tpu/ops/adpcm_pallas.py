@@ -1,0 +1,220 @@
+"""Pallas TPU kernel for the ADPCM unit encoder.
+
+The XLA version (ops/adpcm.py) expresses the per-unit candidate search as
+~700 small vector ops inside a lax.scan step; XLA executes them as many
+VPU kernels with intermediate traffic. This kernel fuses the entire search
+into one Mosaic program: streams ride the lane dimension, the scan over
+time is the (sequential) trailing grid axis with decoder state carried in
+VMEM scratch, and every candidate's 28-step quantize/decode recurrence
+runs out of vector registers.
+
+Layouts (host side transposes once around the call):
+  units  (T, 28, B) int32    limits (T, B) int32    prev* (1, B) int32
+  headers out (T, B) int32
+  words   out (T, 4, B) int32 — 28 nibbles packed 8 per word, nibble m of
+    word k at bit 4m: exactly bytes [2+4k, 2+4k+4) of the SPU block, or
+    the XA nibble stream for host assembly.
+  s1/s2   out (T, B) int32 — decoder state after each unit.
+
+Semantics are bit-identical to ops/adpcm.py (same candidate order, exact
+two-limb MSE tie-breaking); asserted in tests/test_adpcm_pallas.py.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import adpcm as ref_ops
+
+N = 28
+
+
+def _kernel(units_ref, limits_ref, prev1_ref, prev2_ref,
+            hdr_ref, words_ref, s1_ref, s2_ref, state,
+            *, filter_count, shift_range):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        state[0, :] = prev1_ref[0, :]
+        state[1, :] = prev2_ref[0, :]
+
+
+    lim = limits_ref[0, 0, :]                   # (B,)
+    u = units_ref[0]                            # (28, B)
+    B = u.shape[1]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (N, B), 0)
+    raw = jnp.where(ii < lim[None, :], u, 0)
+
+    p1 = state[0, :]
+    p2 = state[1, :]
+
+    k1v = ref_ops.FILTER_K1
+    k2v = ref_ops.FILTER_K2
+    hi_lim = 0x7FFF >> shift_range
+    lo_lim = -0x8000 >> shift_range
+    sample_mask = 0xFFFF >> shift_range
+    half = 1 << (shift_range - 1)
+
+    # --- min shift per filter (no quantization feedback: raw history).
+    prev1_rows = jnp.concatenate([p1[None, :], raw[:-1]], axis=0)
+    prev2_rows = jnp.concatenate([p2[None, :], p1[None, :], raw[:-2]],
+                                 axis=0)
+    min_shifts = []
+    for f in range(filter_count):
+        pred = (int(k1v[f]) * prev1_rows + int(k2v[f]) * prev2_rows
+                + 32) >> 6
+        resid = raw - pred
+        s_min = jnp.minimum(jnp.min(resid, axis=0), 0)
+        s_max = jnp.maximum(jnp.max(resid, axis=0), 0)
+        rs = jnp.full((B,), shift_range, jnp.int32)
+        for r in range(shift_range - 1, -1, -1):
+            ok = ((s_max >> r) <= hi_lim) & ((s_min >> r) >= lo_lim)
+            rs = jnp.where(ok, r, rs)
+        min_shifts.append(shift_range - rs)
+
+    def attempt(k1, k2, shift, want_nibbles):
+        """28-step quantize/decode; k1/k2/shift are (B,) vectors."""
+        a1, a2 = p1, p2
+        mse_hi = jnp.zeros((B,), jnp.int32)
+        mse_lo = jnp.zeros((B,), jnp.int32)
+        nibs = []
+        for i in range(N):
+            s = raw[i]
+            pred = (k1 * a1 + k2 * a2 + 32) >> 6
+            enc = (((s - pred) << shift) + half) >> shift_range
+            enc = jnp.clip(enc, lo_lim, hi_lim) & sample_mask
+            dec = (enc << shift_range) & 0xFFFF
+            dec = dec - ((dec & 0x8000) << 1)
+            dec = jnp.clip((dec >> shift) + pred, -0x8000, 0x7FFF)
+            err = dec - s
+            ae = jnp.abs(err)
+            a_hi = ae >> 8
+            a_lo = ae & 0xFF
+            low = 2 * a_hi * a_lo * 256 + a_lo * a_lo
+            mse_hi = mse_hi + a_hi * a_hi + (low >> 16)
+            mse_lo = mse_lo + (low & 0xFFFF)
+            if want_nibbles:
+                nibs.append(enc)
+            a2 = a1
+            a1 = dec
+        mse_hi = mse_hi + (mse_lo >> 16)
+        mse_lo = mse_lo & 0xFFFF
+        return mse_hi, mse_lo, a1, a2, nibs
+
+    # --- candidate search (filter-major, shift ascending; first-best ties,
+    # adpcm.c:158-183).
+    best_hi = best_lo = best_filter = best_shift = None
+    for f in range(filter_count):
+        k1 = jnp.full((B,), int(k1v[f]), jnp.int32)
+        k2 = jnp.full((B,), int(k2v[f]), jnp.int32)
+        for d in (-1, 0, 1):
+            shift = jnp.clip(min_shifts[f] + d, 0, shift_range)
+            mse_hi, mse_lo, _, _, _ = attempt(k1, k2, shift, False)
+            if best_hi is None:
+                best_hi, best_lo = mse_hi, mse_lo
+                best_filter = jnp.zeros((B,), jnp.int32)
+                best_shift = shift
+            else:
+                better = (mse_hi < best_hi) | ((mse_hi == best_hi)
+                                               & (mse_lo < best_lo))
+                best_hi = jnp.where(better, mse_hi, best_hi)
+                best_lo = jnp.where(better, mse_lo, best_lo)
+                best_filter = jnp.where(better, f, best_filter)
+                best_shift = jnp.where(better, shift, best_shift)
+
+    # --- winner re-encode with per-lane coefficients.
+    k1 = jnp.zeros((B,), jnp.int32)
+    k2 = jnp.zeros((B,), jnp.int32)
+    for f in range(filter_count):
+        k1 = jnp.where(best_filter == f, int(k1v[f]), k1)
+        k2 = jnp.where(best_filter == f, int(k2v[f]), k2)
+    _, _, f1, f2, nibs = attempt(k1, k2, best_shift, True)
+
+    hdr_ref[0, 0, :] = (best_shift & 0x0F) | (best_filter << 4)
+    # Pack sample values into int32 words: 8 nibbles/word (4-bit) or
+    # 4 bytes/word (8-bit), little-end-first — the byte layout of the
+    # encoded stream.
+    vbits = 4 if shift_range == 12 else 8
+    per_word = 32 // vbits
+    n_words = (N + per_word - 1) // per_word
+    for k in range(n_words):
+        w = jnp.zeros((B,), jnp.int32)
+        for m in range(per_word):
+            idx = per_word * k + m
+            if idx < N:
+                w = w | (nibs[idx] << (vbits * m))
+        words_ref[0, k, :] = w
+    s1_ref[0, 0, :] = f1
+    s2_ref[0, 0, :] = f2
+    state[0, :] = f1
+    state[1, :] = f2
+
+
+@functools.partial(jax.jit, static_argnames=("filter_count", "shift_range",
+                                             "interpret"))
+def encode_units_pallas(units, limits, prev1, prev2, *, filter_count,
+                        shift_range, interpret=False):
+    """Pallas ADPCM unit encoder.
+
+    Args match ops.adpcm.encode_units_scan: units (B, T, 28) int32,
+    limits (B, T), prev1/prev2 (B,). B must be a multiple of 128.
+
+    Returns headers (B, T) int32, words (B, T, W) int32 (packed sample
+    values: W=4 for 4-bit, W=7 for 8-bit), s1/s2 (B, T) per-unit state.
+    """
+    B, T, _ = units.shape
+    assert B % 128 == 0, "stream batch must be a multiple of 128 lanes"
+    units_t = jnp.transpose(units, (1, 2, 0)).astype(jnp.int32)
+    # (T, 1, B): Mosaic requires the second-minor block dim to equal the
+    # array dim (or be a multiple of 8); a singleton satisfies that.
+    limits_t = jnp.transpose(
+        jnp.clip(limits, -(1 << 30), N).astype(jnp.int32), (1, 0))[:, None]
+    p1 = prev1.astype(jnp.int32)[None, :]
+    p2 = prev2.astype(jnp.int32)[None, :]
+
+    n_words = 4 if shift_range == 12 else 7
+    grid = (1, T)
+    kernel = functools.partial(_kernel, filter_count=filter_count,
+                               shift_range=shift_range)
+    hdr, words, s1, s2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, N, B), lambda b, t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda b, t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, B), lambda b, t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_words, B), lambda b, t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda b, t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda b, t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 1, B), jnp.int32),
+            jax.ShapeDtypeStruct((T, n_words, B), jnp.int32),
+            jax.ShapeDtypeStruct((T, 1, B), jnp.int32),
+            jax.ShapeDtypeStruct((T, 1, B), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, B), jnp.int32)],
+        interpret=interpret,
+    )(units_t, limits_t, p1, p2)
+
+    return (jnp.transpose(hdr[:, 0], (1, 0)),
+            jnp.transpose(words, (2, 0, 1)),
+            jnp.transpose(s1[:, 0], (1, 0)),
+            jnp.transpose(s2[:, 0], (1, 0)))
