@@ -203,6 +203,19 @@ def _validate_pallas():
         assert np.array_equal(np.asarray(s1), np.asarray(s1r)), (fc, sr)
     log("pallas adpcm kernel: bit-exact vs XLA kernel on this device")
 
+    from psxavenc_tpu import api
+    from psxavenc_tpu.ops import bs as bsm
+
+    frames = rng.integers(0, 256, (8, 320 * 240 * 3 // 2)).astype(np.uint8)
+    budgets = np.full(8, 18144, np.int32)
+    ox = api.bs_encode_frames(frames, budgets, codec=bsm.BS_V2, width=320,
+                              height=240, pallas_sweep=False)
+    op = api.bs_encode_frames(frames, budgets, codec=bsm.BS_V2, width=320,
+                              height=240, pallas_sweep=True)
+    for k in ("scale", "codes", "bits", "nz_count", "total_bits"):
+        assert np.array_equal(np.asarray(ox[k]), np.asarray(op[k])), k
+    log("pallas scale-sweep kernel: bit-exact vs XLA sweep on this device")
+
 
 def main():
     import jax

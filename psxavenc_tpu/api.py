@@ -84,15 +84,25 @@ def xa_encode_batch(units, limits, prev1, prev2, *, bits8=False):
                      else adpcm_ops.SHIFT_RANGE_4BPS))
 
 
-@partial(jax.jit, static_argnames=("codec", "width", "height"))
-def bs_encode_frames(frames, budgets, *, codec, width, height):
+def _use_pallas_sweep():
+    """The Mosaic sweep kernel only compiles for real TPUs."""
+    return jax.devices()[0].platform == "tpu"
+
+
+@partial(jax.jit, static_argnames=("codec", "width", "height",
+                                   "pallas_sweep"))
+def bs_encode_frames(frames, budgets, *, codec, width, height,
+                     pallas_sweep=None):
     """BS frame batch: (B, w*h*3/2) uint8 NV21 -> per-frame symbol streams.
 
     Returns dict with scale (B,), codes/bits (B, NB, 65), nz_count (B,),
     total_bits (B,).
     """
+    if pallas_sweep is None:
+        pallas_sweep = _use_pallas_sweep()
     coefs = _frames_to_coefs(frames, width, height)
-    return bs_ops.encode_frames_symbols(coefs, budgets, codec=codec)
+    return bs_ops.encode_frames_symbols(coefs, budgets, codec=codec,
+                                        pallas_sweep=pallas_sweep)
 
 
 def _frames_to_coefs(frames, width, height):
@@ -104,9 +114,10 @@ def _frames_to_coefs(frames, width, height):
 
 
 @partial(jax.jit,
-         static_argnames=("codec", "width", "height", "capacity_words"))
+         static_argnames=("codec", "width", "height", "capacity_words",
+                          "pallas_sweep"))
 def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
-                            capacity_words):
+                            capacity_words, pallas_sweep=None):
     """Fully fused BS frame batch: pixels in, packed bitstream words out.
 
     Nothing but the packed payload (and a few scalars) leaves the device —
@@ -116,8 +127,11 @@ def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
     """
     eof = 0x1FF if codec == bs_ops.BS_V2 else 0x3FF
 
+    if pallas_sweep is None:
+        pallas_sweep = _use_pallas_sweep()
     coefs = _frames_to_coefs(frames, width, height)
-    out = bs_ops.encode_frames_symbols(coefs, budgets, codec=codec)
+    out = bs_ops.encode_frames_symbols(coefs, budgets, codec=codec,
+                                       pallas_sweep=pallas_sweep)
 
     def pack_one(codes, bits):
         codes = jnp.concatenate([codes.reshape(-1),

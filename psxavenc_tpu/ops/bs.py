@@ -324,8 +324,9 @@ def _runs(nz, axis):
     return posb - prev_excl - 1
 
 
-@partial(jax.jit, static_argnames=("codec",))
-def encode_frames_symbols(coefs, frame_max_sizes, *, codec):
+@partial(jax.jit, static_argnames=("codec", "pallas_sweep"))
+def encode_frames_symbols(coefs, frame_max_sizes, *, codec,
+                          pallas_sweep=False):
     """Quantize + symbolize a batch of frames at reference-chosen scales.
 
     Args:
@@ -364,6 +365,42 @@ def encode_frames_symbols(coefs, frame_max_sizes, *, codec):
     q = jnp.asarray(QUANT_PSX)[zz]          # (63,)
 
     dc_total = dc_bits.sum(axis=1)
+
+    if pallas_sweep:
+        # Fused Mosaic kernel (ops/bs_pallas.py): 16-scale chunks over a
+        # VMEM-resident tile, driven by the same early-exit loop as the
+        # XLA path; ~3.7x faster per scale.
+        from . import bs_pallas
+
+        PCH = bs_pallas.CHUNK
+        nchunks = -(-64 // PCH)
+        sentinel = jnp.int32(1 << 29)
+
+        def pcond(state):
+            ci, bits_ps, _ = state
+            computed = jnp.arange(64) < ci * PCH
+            tb = 8 + 2 * ((bits_ps + dc_total[:, None] + 2 * nb + 10 + 15)
+                          >> 4)
+            fits_any = jnp.any((tb <= frame_max_sizes[:, None])
+                               & computed[None, :], axis=1)
+            return (ci < nchunks) & ~jnp.all(fits_any)
+
+        def pbody(state):
+            ci, bits_ps, nz_ps = state
+            bc, nc = bs_pallas.sweep_chunk_pallas(c, ci * PCH)
+            bits_ps = jax.lax.dynamic_update_slice(bits_ps, bc,
+                                                   (0, ci * PCH))
+            nz_ps = jax.lax.dynamic_update_slice(nz_ps, nc, (0, ci * PCH))
+            return ci + 1, bits_ps, nz_ps
+
+        _, bits_ps, nz_ps = jax.lax.while_loop(
+            pcond, pbody,
+            (jnp.int32(0), jnp.full((B, 64), sentinel, jnp.int32),
+             jnp.zeros((B, 64), jnp.int32)))
+        # Row 63 is scale 64 (chunk padding garbage): drop it.
+        return _select_and_emit(c, q, bits_ps[:, :63], nz_ps[:, :63],
+                                dc_bits, dc_code, dc_total,
+                                frame_max_sizes, B, nb)
 
     # Chunked early-exit sweep: scales are costed 8 at a time in order and
     # the loop stops once every frame has found a fitting scale — the
@@ -407,6 +444,12 @@ def encode_frames_symbols(coefs, frame_max_sizes, *, codec):
         (jnp.int32(0), jnp.full((B, 63), sentinel, jnp.int32),
          jnp.zeros((B, 63), jnp.int32)))
 
+    return _select_and_emit(c, q, bits_ps, nz_ps, dc_bits, dc_code,
+                             dc_total, frame_max_sizes, B, nb)
+
+
+def _select_and_emit(c, q, bits_ps, nz_ps, dc_bits, dc_code, dc_total,
+                     frame_max_sizes, B, nb):
     per_scale_bits = bits_ps + dc_total[:, None] + 2 * nb + 10
     total_bytes = 8 + 2 * ((per_scale_bits + 15) >> 4)
     fits = total_bytes <= frame_max_sizes[:, None]
