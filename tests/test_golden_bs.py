@@ -90,3 +90,18 @@ def test_str_av_golden(tmp_path, oracle, fmt, codec, w, h, nf, fps, extra):
         mask = sorted(set(mask) | set(range(2076, ssize)))
     assert _mask_sectors(ref, ssize, mask) == _mask_sectors(ours, ssize,
                                                             mask)
+
+
+@pytest.mark.parametrize("fmt,codec,w,h,nf,extra", [
+    ("sbs", "v2", 16, 16, 3, ["-a", "256"]),        # smallest legal frame
+    ("strv", "v3", 48, 32, 5, ["-r", "30/2"]),      # fractional frame rate
+    ("strv", "v2", 64, 64, 4, ["-x", "1"]),         # 1x CD speed pacing
+])
+def test_bs_edge_cases(tmp_path, oracle, fmt, codec, w, h, nf, extra):
+    frames = rand_frames(w, h, nf, seed=w + h + nf)
+    ext = "sbs" if fmt == "sbs" else "str"
+    ref, ours = _encode_both(
+        tmp_path, (w, h, frames, 15, {}),
+        ["-t", fmt, "-v", codec, "-s", f"{w}x{h}"] + extra, ext)
+    assert len(ref) == len(ours)
+    assert ref == ours
