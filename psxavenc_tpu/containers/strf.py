@@ -187,19 +187,19 @@ def encode_file_str(args, dec, output):
                          dec.video_height)
     frames = dec.video_window()
 
-    frame_bufs, frame_infos = [], []
+    # Frame k consumes source frame k (clamped at EOF); all budgets are
+    # known from the pacing accumulator, so the whole file's frames encode
+    # in batched device calls.
+    sources = [frames[min(k, len(frames) - 1)]
+               for k in range(len(frame_budgets))]
+    results = enc.encode_frames(sources, frame_budgets)
+    frame_bufs = [r[0] for r in results]
+    frame_infos = [r[1] for r in results]
+
     buffer = np.zeros(2352, dtype=np.uint8)
     progress = Progress(args)
-    next_frame_src = 0
     for desc in sectors:
         if desc["video"]:
-            while len(frame_bufs) < desc["frame"]:
-                src = min(next_frame_src, len(frames) - 1)
-                fb, info = enc.encode_frame(
-                    frames[src], frame_budgets[len(frame_bufs)])
-                frame_bufs.append(fb)
-                frame_infos.append(info)
-                next_frame_src += 1
             _write_video_sector(args, buffer, desc, frame_bufs,
                                 frame_infos, enc)
         elif desc["length"] > 0:
@@ -208,7 +208,7 @@ def encode_file_str(args, dec, output):
         # length == 0: the reference writes the untouched buffer
         # (filefmt.c:482-494 with an empty encode), i.e. previous bytes.
         output.write(buffer[:sector_size].tobytes())
-        progress.print_str(len(frame_bufs), desc["lba"],
+        progress.print_str(desc.get("frame", 0), desc["lba"],
                            enc.quant_scale_sum, args.str_fps_num,
                            args.str_fps_den)
 
@@ -234,21 +234,17 @@ def encode_file_strspu(args, dec, output):
     enc = BsFrameEncoder(args.video_codec, dec.video_width,
                          dec.video_height)
     frames = dec.video_window()
-    frame_bufs, frame_infos = [], []
+    sources = [frames[min(k, len(frames) - 1)]
+               for k in range(len(frame_budgets))]
+    results = enc.encode_frames(sources, frame_budgets)
+    frame_bufs = [r[0] for r in results]
+    frame_infos = [r[1] for r in results]
     buffer = np.zeros(2048, dtype=np.uint8)
     progress = Progress(args)
-    next_frame_src = 0
     for desc in sectors:
-        while len(frame_bufs) < desc["frame"]:
-            src = min(next_frame_src, len(frames) - 1)
-            fb, info = enc.encode_frame(frames[src],
-                                        frame_budgets[len(frame_bufs)])
-            frame_bufs.append(fb)
-            frame_infos.append(info)
-            next_frame_src += 1
         _write_video_sector(args, buffer, desc, frame_bufs, frame_infos,
                             enc)
         output.write(buffer[:2048].tobytes())
-        progress.print_str(len(frame_bufs), desc["lba"],
+        progress.print_str(desc.get("frame", 0), desc["lba"],
                            enc.quant_scale_sum, args.str_fps_num,
                            args.str_fps_den)

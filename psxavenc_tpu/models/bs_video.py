@@ -1,32 +1,27 @@
-"""BS video frame encoder model: device pipeline + host bit-packing.
+"""BS video frame encoder model: device pipeline + host assembly.
 
-Pipeline per frame (mdec.c:580-755 behavior, TPU-restructured):
-  NV21 bytes -> macroblock rearrange -> batched integer FDCT -> all-scale
-  quantize/RLE sweep -> chosen-scale symbol stream  [device, one jit call]
-  -> 16-bit LE bit-pack -> 8-byte frame header       [host, native C++]
+Pipeline (mdec.c:580-755 behavior, TPU-restructured):
+  NV21 bytes -> macroblock rearrange -> batched integer FDCT ->
+  quantization-scale sweep -> chosen-scale symbols -> device bit-pack
+  [one fused jit call over a CHUNK of frames] -> 8-byte frame headers
+  and buffer assembly on the host.
+
+Frames are encoded in power-of-two chunks so every frame of a file (and
+across files of the same geometry) shares one compiled program; per-frame
+byte budgets ride in as data.
 """
 
 import numpy as np
-import jax.numpy as jnp
 
-from .. import native
+from .. import api
 from ..ops import bs as bs_ops
-from ..ops import fdct as fdct_ops
-
-import jax
-from functools import partial
-
-
-@partial(jax.jit, static_argnames=("codec", "width", "height"))
-def _frame_device(frame, frame_max_size, *, codec, width, height):
-    blocks = bs_ops.rearrange_nv21_frame(frame, width, height)
-    coefs = fdct_ops.fdct_islow(blocks).reshape(-1, 64)
-    return bs_ops.encode_frame_symbols(coefs, frame_max_size, codec=codec)
 
 
 class BsFrameEncoder:
     """Stateful frame encoder (frame index, quant-scale stats) matching
-    mdec_encoder_t's observable behavior."""
+    mdec_encoder_t's observable behavior, with chunk-batched device work."""
+
+    CHUNK = 8  # frames per device call (padded to this granularity)
 
     def __init__(self, codec, width, height):
         assert width % 16 == 0 and height % 16 == 0
@@ -36,41 +31,54 @@ class BsFrameEncoder:
         self.quant_scale_sum = 0
         self.frame_index = 0
 
-    def encode_frame(self, frame_nv21, frame_max_size):
-        """Encode one frame into a zero-padded ``frame_max_size`` buffer.
+    def encode_frames(self, frames_nv21, frame_max_sizes):
+        """Encode N frames with per-frame budgets -> list of (buffer, info).
 
-        Returns (buffer, info) where info carries quant_scale, bytes_used
-        (rounded to 4), blocks_used.
+        One fused device call per CHUNK of frames; the packed payload is
+        the only thing fetched.
         """
-        out = _frame_device(jnp.asarray(frame_nv21),
-                            jnp.int32(frame_max_size), codec=self.codec,
-                            width=self.width, height=self.height)
-        scale = int(out["scale"])
+        n = len(frames_nv21)
+        results = []
+        for base in range(0, n, self.CHUNK):
+            chunk = list(range(base, min(base + self.CHUNK, n)))
+            pad = self.CHUNK - len(chunk)
+            fr = np.stack([np.asarray(frames_nv21[i]) for i in chunk]
+                          + [np.asarray(frames_nv21[chunk[-1]])] * pad)
+            budgets = np.array(
+                [frame_max_sizes[i] for i in chunk]
+                + [frame_max_sizes[chunk[-1]]] * pad, np.int32)
+            cap_bytes = int(budgets.max())
+            cap_words = max(1, (cap_bytes - 8 + 1) // 2)
+            out = api.bs_encode_frames_packed(
+                fr, budgets, codec=self.codec, width=self.width,
+                height=self.height, capacity_words=cap_words)
+            words = np.asarray(out["words"])
+            scales = np.asarray(out["scale"])
+            total_bits = np.asarray(out["total_bits"])
+            nzs = np.asarray(out["nz_count"])
+            for j, i in enumerate(chunk):
+                results.append(self._assemble(
+                    int(scales[j]), words[j], int(total_bits[j]),
+                    int(nzs[j]), int(frame_max_sizes[i])))
+        return results
+
+    def _assemble(self, scale, words, total_bits, nz, frame_max_size):
         if scale >= 64:
             raise RuntimeError(
                 "frame does not fit budget even at quant scale 63 "
                 "(the reference asserts here too, mdec.c:723)")
-
-        codes = np.asarray(out["codes"]).reshape(-1)
-        bits = np.asarray(out["bits"]).reshape(-1).astype(np.uint8)
-        # Final end-of-frame code (mdec.c:645-651,710).
-        eof = 0x1FF if self.codec == bs_ops.BS_V2 else 0x3FF
-        codes = np.concatenate([codes, np.array([eof], np.uint32)])
-        bits = np.concatenate([bits, np.array([10], np.uint8)])
-
-        bytes_used, buffer = native.bs_pack(codes, bits, frame_max_size)
-        if bytes_used < 0:
-            raise AssertionError(
-                "packer overflow at the device-chosen scale — bit "
-                "accounting bug")
-        predicted = 8 + 2 * ((int(out["total_bits"]) + 15) >> 4)
-        assert bytes_used == predicted, (bytes_used, predicted)
+        buffer = np.zeros(frame_max_size, dtype=np.uint8)
+        payload = words.astype("<u2").tobytes()
+        buffer[8:] = np.frombuffer(payload[:frame_max_size - 8], np.uint8)
+        # pack_bits' total already includes the 10-bit end-of-frame code.
+        bytes_used = 8 + 2 * ((total_bits + 15) >> 4)
+        assert bytes_used <= frame_max_size
+        bytes_used = (bytes_used + 0x3) & ~0x3
 
         nb = (self.width // 16) * (self.height // 16) * 6
-        hwords = int(out["nz_count"]) + 2 * nb + 2
+        hwords = nz + 2 * nb + 2
         hwords = (hwords + 0x3F) & ~0x3F
         blocks_used = (hwords + 1) >> 1
-        bytes_used = (bytes_used + 0x3) & ~0x3
 
         # 8-byte BS frame header (mdec.c:725-755).
         buffer[0] = blocks_used & 0xFF
