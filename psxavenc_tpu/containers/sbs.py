@@ -1,6 +1,5 @@
 """.sbs container: fixed-size BS frames back to back (filefmt.c:633-663)."""
 
-from .. import cli_args as ca
 from ..models.bs_video import BsFrameEncoder
 from ..utils.progress import Progress
 

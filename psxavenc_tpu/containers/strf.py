@@ -50,7 +50,6 @@ def _schedule(args, dec, asps, interleave, vspb0, base_overflow,
     frame_max = 0
     offset = 0
     frame_count = 0
-    frames_buffered_consumed = 0
 
     sectors = []          # per sector: dict
     audio_lengths = []    # per audio sector (samples per channel)

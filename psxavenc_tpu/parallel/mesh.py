@@ -16,7 +16,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import api
-from ..ops import bs as bs_ops
 
 BATCH_AXIS = "batch"
 

@@ -12,7 +12,6 @@ if "xla_force_host_platform_device_count" not in _flags:
 import pathlib
 import subprocess
 
-import numpy as np
 import pytest
 
 import jax

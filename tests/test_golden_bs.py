@@ -1,6 +1,5 @@
 """Golden byte-diff tests for BS video: .sbs (whole-frame) and .str."""
 
-import numpy as np
 import pytest
 
 from psxavenc_tpu import cli

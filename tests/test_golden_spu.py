@@ -1,7 +1,6 @@
 """Byte-for-byte golden tests: our encoder vs the compiled reference binary
 for the SPU-ADPCM formats (spu/vag)."""
 
-import numpy as np
 import pytest
 
 from psxavenc_tpu import cli

@@ -16,7 +16,6 @@ algorithm itself is validated bit-exactly in test_cdrom.py against the
 reference's own compiled cdrom.c.
 """
 
-import numpy as np
 import pytest
 
 from psxavenc_tpu import cli
