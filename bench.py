@@ -220,6 +220,10 @@ def _validate_pallas():
 def main():
     import jax
 
+    # Remote TPU compiles take 60-100s each; cache them across runs.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     dev = jax.devices()[0]
     log(f"bench device: {dev}")
     if dev.platform == "tpu":

@@ -104,3 +104,20 @@ def test_bs_edge_cases(tmp_path, oracle, fmt, codec, w, h, nf, extra):
         ["-t", fmt, "-v", codec, "-s", f"{w}x{h}"] + extra, ext)
     assert len(ref) == len(ours)
     assert ref == ours
+
+
+def test_strcd_flagship_golden(tmp_path, oracle):
+    """The BASELINE.json headline config at full size: 320x240 15fps BS v2
+    + 37800 Hz stereo XA, 2352-byte sectors, 2x speed."""
+    w, h, nf, fps = 320, 240, 8, 15
+    frames = rand_frames(w, h, nf, seed=99)
+    n_audio = int(37800 * (nf / fps) * 1.4) + 4000
+    audio = rand_pcm(n_audio, channels=2, seed=98)
+    ref, ours = _encode_both(
+        tmp_path, (w, h, frames, fps, {"audio": audio,
+                                       "audio_rate": 37800}),
+        ["-t", "strcd", "-x", "2"], "str")
+    assert len(ref) == len(ours)
+    mask = list(range(2328, 2352))
+    assert _mask_sectors(ref, 2352, mask) == _mask_sectors(ours, 2352,
+                                                           mask)
