@@ -1,0 +1,89 @@
+"""Ingest-layer unit tests: windowing semantics, remix, CFR, ffmpeg gate."""
+
+import os
+import stat
+
+import numpy as np
+
+from psxavenc_tpu.io import ingest
+from tests.conftest import rand_pcm, write_wav
+
+
+def test_ensure_retire_quirk():
+    """decoding.c:514-520: end_of_input flips when the buffer can no longer
+    exceed the need, and ensure keeps returning True until empty."""
+    dec = ingest.Decoder()
+    dec.audio = np.zeros(100, np.int16)
+    assert dec.ensure_av_data(28, 0)
+    assert not dec.end_of_input          # 100 > 28
+    dec.retire_av_data(28, 0)
+    assert dec.ensure_av_data(28, 0)     # 72 > 28
+    assert not dec.end_of_input
+    dec.retire_av_data(28, 0)            # 44 left
+    assert dec.ensure_av_data(28, 0)
+    assert not dec.end_of_input          # 44 > 28
+    dec.retire_av_data(28, 0)            # 16 left
+    assert dec.ensure_av_data(28, 0)     # 16 <= 28 -> EOF, but nonempty
+    assert dec.end_of_input
+    dec.retire_av_data(16, 0)
+    assert not dec.ensure_av_data(28, 0)  # empty
+
+
+def test_exact_multiple_flags_eoi_on_last_block():
+    dec = ingest.Decoder()
+    dec.audio = np.zeros(56, np.int16)
+    assert dec.ensure_av_data(28, 0) and not dec.end_of_input
+    dec.retire_av_data(28, 0)
+    assert dec.ensure_av_data(28, 0) and dec.end_of_input
+    dec.retire_av_data(28, 0)
+    assert not dec.ensure_av_data(28, 0)
+
+
+def test_cfr_dup_and_drop():
+    frames = [np.full(4, i, np.uint8) for i in range(5)]
+    # 5 fps input to 15 fps target: each frame duplicated 3x (2 dupes).
+    out = ingest._cfr_retime(frames, [i / 5 for i in range(5)], 15, 1)
+    # Double arithmetic puts some gaps a hair over 2 steps (ceil -> 3
+    # dupes), exactly like the reference's double-based pts grid
+    # (decoding.c:443).
+    assert len(out) == 14
+    # 30 fps input to 15 fps target: the reference's grid anchors at the
+    # first pts and drops frames that land before the next slot
+    # (decoding.c:432-437) -> keeps 0,1,2,4 here.
+    out = ingest._cfr_retime(frames, [i / 30 for i in range(5)], 15, 1)
+    assert [int(f[0]) for f in out] == [0, 1, 2, 4]
+
+
+def test_q15_mono_to_stereo_exact():
+    x = np.array([[1000], [-32768], [32767], [1]], np.int16)
+    y = ingest._remix_channels(x, 2)
+    expect = (x.astype(np.int64) * 23170 + (1 << 14)) >> 15
+    assert np.array_equal(y[:, 0], np.clip(expect[:, 0], -32768, 32767))
+    assert np.array_equal(y[:, 0], y[:, 1])
+
+
+def test_ffmpeg_cli_gate(tmp_path, monkeypatch):
+    """With an ffmpeg binary on PATH, non-native formats decode through it."""
+    fake = tmp_path / "bin" / "ffmpeg"
+    fake.parent.mkdir()
+    n = 1000
+    pcm = rand_pcm(n, seed=5)
+    raw = tmp_path / "payload.raw"
+    raw.write_bytes(pcm.astype("<i2").tobytes())
+    fake.write_text(f"#!/bin/sh\ncat {raw}\n")
+    fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{fake.parent}:{os.environ['PATH']}")
+
+    out = ingest._ffmpeg_audio("whatever.mp3", 44100, 1)
+    assert out is not None and out.shape == (n, 1)
+    assert np.array_equal(out[:, 0], pcm)
+
+
+def test_wav_smpl_loop_point(tmp_path):
+    wav = write_wav(tmp_path / "l.wav", rand_pcm(4000, seed=1), 8000,
+                    loop_start=2000)
+    from psxavenc_tpu.io import wav as wavmod
+
+    w = wavmod.read_wav(wav)
+    assert w.loop_start_offset == 2000
+    assert w.sample_rate == 8000
