@@ -103,13 +103,35 @@ def init_default_args(args):
         args.alignment = 2048
 
 
+def _strtol(value, base=0):
+    """C strtol: parse the longest valid prefix; 0 when none."""
+    value = value.strip()
+    neg = value.startswith("-")
+    body = value[1:] if value[:1] in "+-" else value
+    if base == 0:
+        if body[:2].lower() == "0x":
+            base, body = 16, body[2:]
+            digits = "0123456789abcdef"
+        elif body[:1] == "0" and len(body) > 1:
+            base, body = 8, body[1:]
+            digits = "01234567"
+        else:
+            base, digits = 10, "0123456789"
+    else:
+        digits = "0123456789abcdef"[:base]
+    n = 0
+    while n < len(body) and body[n].lower() in digits:
+        n += 1
+    if n == 0:
+        return 0
+    v = int(body[:n], base)
+    return -v if neg else v
+
+
 def _parse_int(name, value, min_value, max_value=-1):
     if value is None:
         _err(f"Missing {name} value after option")
-    try:
-        v = int(value, 0)
-    except ValueError:
-        v = 0  # strtol semantics: unparsable -> 0
+    v = _strtol(value)
     if v < min_value or (max_value >= 0 and v > max_value):
         if max_value >= 0:
             _err(f"Invalid {name}: {v} (must be in {min_value}-{max_value} "
@@ -121,10 +143,7 @@ def _parse_int(name, value, min_value, max_value=-1):
 def _parse_int_one_of(name, value, a, b):
     if value is None:
         _err(f"Missing {name} value after option")
-    try:
-        v = int(value, 0)
-    except ValueError:
-        v = 0
+    v = _strtol(value)
     if v not in (a, b):
         _err(f"Invalid {name}: {v} (must be {a} or {b})")
     return v
@@ -255,11 +274,8 @@ def _parse_bs(args, opt, param):
         w, sep, h = param.partition("x")
         if not sep:
             _err("Invalid video size (must be specified as <width>x<height>)")
-        try:
-            args.video_width = int(w, 10)
-            args.video_height = int(h, 10)
-        except ValueError:
-            _err("Invalid video size (must be specified as <width>x<height>)")
+        args.video_width = _strtol(w, 10)
+        args.video_height = _strtol(h, 10)
         if not (16 <= args.video_width <= 640):
             _err(f"Invalid video width: {args.video_width} (must be in "
                  "16-640 range)")
@@ -280,17 +296,8 @@ def _parse_str(args, opt, param):
         if param is None:
             _err("Missing frame rate value after option")
         num, sep, den = param.partition("/")
-        try:
-            args.str_fps_num = int(num, 10)
-        except ValueError:
-            args.str_fps_num = 0
-        if sep:
-            try:
-                args.str_fps_den = int(den, 10)
-            except ValueError:
-                args.str_fps_den = 0
-        else:
-            args.str_fps_den = 1
+        args.str_fps_num = _strtol(num, 10)
+        args.str_fps_den = _strtol(den, 10) if sep else 1
         if args.str_fps_num <= 0 or args.str_fps_den <= 0:
             _err("Invalid frame rate (must be a non-zero integer or "
                  "fraction)")
