@@ -197,8 +197,10 @@ def encode_file_str(args, dec, output):
 
     buffer = np.zeros(2352, dtype=np.uint8)
     progress = Progress(args)
+    frame_count = 0
     for desc in sectors:
         if desc["video"]:
+            frame_count = desc["frame"]
             _write_video_sector(args, buffer, desc, frame_bufs,
                                 frame_infos, enc)
         elif desc["length"] > 0:
@@ -207,7 +209,7 @@ def encode_file_str(args, dec, output):
         # length == 0: the reference writes the untouched buffer
         # (filefmt.c:482-494 with an empty encode), i.e. previous bytes.
         output.write(buffer[:sector_size].tobytes())
-        progress.print_str(desc.get("frame", 0), desc["lba"],
+        progress.print_str(frame_count, desc["lba"],
                            enc.quant_scale_sum, args.str_fps_num,
                            args.str_fps_den)
 
@@ -244,6 +246,6 @@ def encode_file_strspu(args, dec, output):
         _write_video_sector(args, buffer, desc, frame_bufs, frame_infos,
                             enc)
         output.write(buffer[:2048].tobytes())
-        progress.print_str(desc.get("frame", 0), desc["lba"],
+        progress.print_str(desc["frame"], desc["lba"],
                            enc.quant_scale_sum, args.str_fps_num,
                            args.str_fps_den)
