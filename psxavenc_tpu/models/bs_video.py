@@ -39,6 +39,13 @@ class BsFrameEncoder:
         """
         n = len(frames_nv21)
         results = []
+        if n == 0:
+            return results
+        # One packing capacity for the whole call: chunk-local maxima would
+        # force a recompile whenever a chunk happens to miss the largest
+        # budget.
+        cap_bytes = int(max(frame_max_sizes))
+        cap_words = max(1, (cap_bytes - 8 + 1) // 2)
         for base in range(0, n, self.CHUNK):
             chunk = list(range(base, min(base + self.CHUNK, n)))
             pad = self.CHUNK - len(chunk)
@@ -47,8 +54,6 @@ class BsFrameEncoder:
             budgets = np.array(
                 [frame_max_sizes[i] for i in chunk]
                 + [frame_max_sizes[chunk[-1]]] * pad, np.int32)
-            cap_bytes = int(budgets.max())
-            cap_words = max(1, (cap_bytes - 8 + 1) // 2)
             out = api.bs_encode_frames_packed(
                 fr, budgets, codec=self.codec, width=self.width,
                 height=self.height, capacity_words=cap_words)
