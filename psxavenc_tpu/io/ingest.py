@@ -306,7 +306,14 @@ def open_av_data(args, flags):
 
     if flags & DECODER_USE_AUDIO:
         audio = None
-        if ext == ".wav":
+        if ext in (".pcm", ".s16"):
+            # Headerless s16le PCM at the target rate/channels (an
+            # ffmpeg-free escape hatch; interpretation follows the
+            # requested -f/-c).
+            raw = np.fromfile(path, dtype="<i2")
+            ch = args.audio_channels
+            audio = raw[: len(raw) // ch * ch].reshape(-1, ch)
+        elif ext == ".wav":
             w = wavmod.read_wav(path)
             pcm = _remix_channels(w.samples, args.audio_channels)
             pcm = _resample(pcm, w.sample_rate, args.audio_frequency)
@@ -329,7 +336,26 @@ def open_av_data(args, flags):
 
     if flags & DECODER_USE_VIDEO:
         frames = None
-        if avi is not None:
+        if ext in (".nv21", ".yuv"):
+            # Headerless NV21 frames at the requested -s geometry and -r
+            # rate (.yuv is treated as I420 and repacked).
+            dec.video_width = args.video_width
+            dec.video_height = args.video_height
+            w, h = dec.video_width, dec.video_height
+            fsz = w * h * 3 // 2
+            raw = np.fromfile(path, dtype=np.uint8)
+            nfr = len(raw) // fsz
+            raw = raw[: nfr * fsz].reshape(nfr, fsz)
+            if ext == ".yuv":
+                frames = []
+                for fr in raw:
+                    y = fr[: w * h]
+                    cb = fr[w * h: w * h + w * h // 4]
+                    cr = fr[w * h + w * h // 4:]
+                    frames.append(_scale_frame_nv21(y, cb, cr, w, h, w, h))
+            else:
+                frames = list(raw)
+        elif avi is not None:
             v = avi
             dst_w, dst_h = adjust_video_size(args, v.width, v.height)
             dec.video_width, dec.video_height = dst_w, dst_h
