@@ -1,0 +1,92 @@
+"""Randomized-config golden fuzzing: draw valid option combinations,
+encode with both encoders, compare bytes (masking reference UB regions).
+
+Deterministic seeds; each case covers a combination the fixed-matrix tests
+may not."""
+
+import numpy as np
+import pytest
+
+from psxavenc_tpu import cli
+from tests.conftest import (rand_frames, rand_pcm, run_oracle,
+                            write_avi_sized, write_wav)
+from tests.test_golden_xa import _mask_for, _normalize
+
+
+def _both(tmp_path, infile, enc_args, ext):
+    (tmp_path / "ref").mkdir(exist_ok=True)
+    (tmp_path / "our").mkdir(exist_ok=True)
+    ref_out = tmp_path / "ref" / f"o.{ext}"
+    our_out = tmp_path / "our" / f"o.{ext}"
+    r = run_oracle(["-q"] + enc_args + [infile, ref_out])
+    assert r.returncode == 0, (enc_args, r.stderr)
+    assert cli.main(["-q"] + [str(a) for a in enc_args]
+                    + [str(infile), str(our_out)]) == 0
+    return ref_out.read_bytes(), our_out.read_bytes()
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_audio(tmp_path, oracle, seed):
+    rng = np.random.default_rng(1000 + seed)
+    fmt = rng.choice(["xa", "xacd", "spu", "vag", "spui", "vagi"])
+    if fmt in ("xa", "xacd"):
+        freq = int(rng.choice([18900, 37800]))
+        ch = int(rng.choice([1, 2]))
+        bits = int(rng.choice([4, 8]))
+        n = int(rng.integers(3000, 40000))
+        args = ["-t", fmt, "-f", freq, "-c", ch, "-b", bits,
+                "-F", int(rng.integers(0, 256)),
+                "-C", int(rng.integers(0, 32))]
+    elif fmt in ("spu", "vag"):
+        freq = int(rng.choice([11025, 22050, 44100]))
+        ch, bits = 1, 4
+        n = int(rng.integers(100, 40000))
+        args = ["-t", fmt, "-f", freq,
+                "-a", int(rng.choice([16, 64, 256, 2048]))]
+        if rng.random() < 0.4:
+            args += ["-l", int(rng.integers(0, 500))]
+        if rng.random() < 0.3:
+            args += ["-D"]
+    else:
+        freq = 44100
+        ch = int(rng.integers(1, 5))
+        bits = 4
+        n = int(rng.integers(3000, 30000))
+        args = ["-t", fmt, "-c", ch,
+                "-i", int(rng.choice([256, 1024, 2048])),
+                "-a", int(rng.choice([512, 2048]))]
+        if rng.random() < 0.3:
+            args += ["-L"]
+    pcm = rand_pcm(n, channels=ch, seed=2000 + seed)
+    wav = write_wav(tmp_path / "i.wav", pcm, freq, channels=ch)
+    ref, ours = _both(tmp_path, wav, args, "bin")
+    assert len(ref) == len(ours), args
+    if fmt in ("xa", "xacd"):
+        ssize, mask = _mask_for(fmt, bits)
+        ref, ours = _normalize(ref, ssize, mask), _normalize(ours, ssize,
+                                                             mask)
+    assert ref == ours, args
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_video(tmp_path, oracle, seed):
+    rng = np.random.default_rng(3000 + seed)
+    fmt = rng.choice(["sbs", "strv"])
+    codec = rng.choice(["v2", "v3", "v3dc"])
+    w = 16 * int(rng.integers(1, 7))
+    h = 16 * int(rng.integers(1, 6))
+    nf = int(rng.integers(1, 7))
+    fps = int(rng.choice([10, 15, 24, 30]))
+    args = ["-t", fmt, "-v", codec, "-s", f"{w}x{h}"]
+    if fmt == "sbs":
+        # sbs takes no -r (the reference rejects it; frame rate only
+        # affects its progress display).
+        fps = 15
+        args += ["-a", int(rng.choice([2048, 4096, 8192, 16384]))]
+    else:
+        args += ["-r", fps]
+    frames = rand_frames(w, h, nf, seed=4000 + seed)
+    avi = write_avi_sized(tmp_path / "i.avi", w, h, frames, fps)
+    ref, ours = _both(tmp_path, avi, args,
+                      "sbs" if fmt == "sbs" else "str")
+    assert ref == ours, args
