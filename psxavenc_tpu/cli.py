@@ -105,50 +105,50 @@ def main(argv=None):
 
 
 def _dispatch(args, dec, output):
-    if True:
-        fmt = args.format
-        if fmt in (ca.FORMAT_XA, ca.FORMAT_XACD):
-            from .containers import xa as xamod
+    fmt = args.format
+    if fmt in (ca.FORMAT_XA, ca.FORMAT_XACD):
+        from .containers import xa as xamod
+        _info(args, _audio_banner_xa(args))
+        xamod.encode_file_xa(args, dec, output)
+    elif fmt in (ca.FORMAT_SPU, ca.FORMAT_VAG):
+        if not (args.flags & ca.FLAG_OVERRIDE_LOOP_POINT):
+            args.audio_loop_point = ingest.get_av_loop_point(dec, args)
+            if args.audio_loop_point >= 0:
+                args.flags |= ca.FLAG_SPU_ENABLE_LOOP
+        from .containers import vag as vagmod
+        _info(args, f"Audio format: SPU-ADPCM, {args.audio_frequency} "
+                    "Hz mono")
+        vagmod.encode_file_spu(args, dec, output)
+    elif fmt in (ca.FORMAT_SPUI, ca.FORMAT_VAGI):
+        if not (args.flags & ca.FLAG_OVERRIDE_LOOP_POINT):
+            args.audio_loop_point = ingest.get_av_loop_point(dec, args)
+        from .containers import vag as vagmod
+        _info(args, f"Audio format: SPU-ADPCM, {args.audio_frequency} "
+                    f"Hz {args.audio_channels} channels, "
+                    f"interleave={args.audio_interleave}")
+        vagmod.encode_file_spui(args, dec, output)
+    elif fmt in (ca.FORMAT_STR, ca.FORMAT_STRCD):
+        from .containers import strf as strmod
+        if dec.has_audio:
             _info(args, _audio_banner_xa(args))
-            xamod.encode_file_xa(args, dec, output)
-        elif fmt in (ca.FORMAT_SPU, ca.FORMAT_VAG):
-            if not (args.flags & ca.FLAG_OVERRIDE_LOOP_POINT):
-                args.audio_loop_point = ingest.get_av_loop_point(dec, args)
-                if args.audio_loop_point >= 0:
-                    args.flags |= ca.FLAG_SPU_ENABLE_LOOP
-            from .containers import vag as vagmod
-            _info(args, f"Audio format: SPU-ADPCM, {args.audio_frequency} "
-                        "Hz mono")
-            vagmod.encode_file_spu(args, dec, output)
-        elif fmt in (ca.FORMAT_SPUI, ca.FORMAT_VAGI):
-            if not (args.flags & ca.FLAG_OVERRIDE_LOOP_POINT):
-                args.audio_loop_point = ingest.get_av_loop_point(dec, args)
-            from .containers import vag as vagmod
-            _info(args, f"Audio format: SPU-ADPCM, {args.audio_frequency} "
-                        f"Hz {args.audio_channels} channels, "
+        _info(args, _video_banner(args))
+        strmod.encode_file_str(args, dec, output)
+    elif fmt == ca.FORMAT_STRSPU:
+        # The reference prints this and still exits 0 (main.c:159-162).
+        print("This format is not currently supported", file=sys.stderr)
+    elif fmt == ca.FORMAT_STRV:
+        from .containers import strf as strmod
+        if dec.has_audio:
+            _info(args, f"Audio format: SPU-ADPCM, "
+                        f"{args.audio_frequency} Hz "
+                        f"{args.audio_channels} channels, "
                         f"interleave={args.audio_interleave}")
-            vagmod.encode_file_spui(args, dec, output)
-        elif fmt in (ca.FORMAT_STR, ca.FORMAT_STRCD):
-            from .containers import strf as strmod
-            if dec.has_audio:
-                _info(args, _audio_banner_xa(args))
-            _info(args, _video_banner(args))
-            strmod.encode_file_str(args, dec, output)
-        elif fmt == ca.FORMAT_STRSPU:
-            print("This format is not currently supported", file=sys.stderr)
-        elif fmt == ca.FORMAT_STRV:
-            from .containers import strf as strmod
-            if dec.has_audio:
-                _info(args, f"Audio format: SPU-ADPCM, "
-                            f"{args.audio_frequency} Hz "
-                            f"{args.audio_channels} channels, "
-                            f"interleave={args.audio_interleave}")
-            _info(args, _video_banner(args))
-            strmod.encode_file_strspu(args, dec, output)
-        elif fmt == ca.FORMAT_SBS:
-            from .containers import sbs as sbsmod
-            _info(args, _video_banner(args))
-            sbsmod.encode_file_sbs(args, dec, output)
+        _info(args, _video_banner(args))
+        strmod.encode_file_strspu(args, dec, output)
+    elif fmt == ca.FORMAT_SBS:
+        from .containers import sbs as sbsmod
+        _info(args, _video_banner(args))
+        sbsmod.encode_file_sbs(args, dec, output)
 
     if not (args.flags & ca.FLAG_HIDE_PROGRESS):
         print("\nDone.", file=sys.stderr)

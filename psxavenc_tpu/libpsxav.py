@@ -236,13 +236,11 @@ def xa_encode_finalize(settings, output):
     bit on the last sector. Takes/returns bytes."""
     data = bytearray(output)
     if len(data) >= 2336:
-        ssize = xa_get_buffer_size_per_sector(settings)
         last = len(data) - CDROM_SECTOR_SIZE
         # Subheader position within the trailing 2352-byte window.
         sub = last + 16
         data[sub + 2] |= 0x80
         data[sub + 6] |= 0x80
-        _ = ssize
     return bytes(data)
 
 

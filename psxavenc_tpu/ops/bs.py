@@ -217,6 +217,58 @@ def ac_bits_closed_form(run, mag):
     return bits
 
 
+# Closed-form AC code constants: per magnitude class, the prefix values are
+# piecewise linear in run (or, for the run-0/1 families, in |level|) with a
+# handful of irregular low indices. The irregular constants are 6-bit values
+# packed 5 per int32 word so extraction is a couple of compares plus one
+# variable shift instead of a gather. Derived from AC_TABLE and verified
+# exhaustively against AC_CODE_LUT in tests/test_bs_ops.py.
+_ACC_W1 = (0x61C50C3, 0x51C4147, 0xE8228E7, 0x1969F20D, 0x597)   # a=1, r<22
+_ACC_W2 = (0xF904184, 0x11455789, 0x10)                          # a=2, r<11
+_ACC_W37 = (0x1270B945, 0x14306512, 0x2151B993, 0x15296)  # a=3..7 packed
+_ACC_W8 = (0x41361D,)                                     # r=0, a=8..11
+
+
+def _packed6(words, idx):
+    """Extract 6-bit constant #idx from int32 words holding 5 values each."""
+    w = idx // 5
+    sh = (idx % 5) * 6
+    acc = jnp.zeros_like(idx)
+    for wi, cw in enumerate(words):
+        acc = jnp.where(w == wi, jnp.int32(cw), acc)
+    return (acc >> sh) & 0x3F
+
+
+def ac_code_closed_form(run, ac, bits):
+    """AC Huffman code value as arithmetic on (run, level) — the emission
+    analog of :func:`ac_bits_closed_form` (no 64K-LUT gather on the winner
+    pass). ``bits`` is the closed-form bit length (22 = escape). Matches
+    AC_CODE_LUT exhaustively (tests/test_bs_ops.py)."""
+    r = run
+    a = jnp.abs(ac)
+    sign = (ac < 0).astype(jnp.uint32)
+
+    p1 = jnp.where(r < 22, _packed6(_ACC_W1, jnp.minimum(r, 21)),
+                   jnp.where(r < 27, 0x1F - (r - 22), 0x1F - (r - 27)))
+    p2 = jnp.where(r < 11, _packed6(_ACC_W2, jnp.minimum(r, 10)),
+                   0x1A - (r - 11))
+    off37 = jnp.where(a == 3, 0, jnp.where(a == 4, 7, jnp.where(
+        a == 5, 11, jnp.where(a == 6, 14, 16))))
+    p37 = _packed6(_ACC_W37, jnp.clip(off37 + r, 0, 17))
+    p8r0 = jnp.where(a < 12, _packed6(_ACC_W8, jnp.clip(a - 8, 0, 3)),
+                     jnp.where(a < 16, 0x1A - (a - 12),
+                               jnp.where(a < 32, 0x1F - (a - 16),
+                                         0x18 - (a - 32))))
+    p8r1 = jnp.where(a < 15, 0x1F - (a - 8), 0x13 - (a - 15))
+    p8 = jnp.where(r == 0, p8r0, p8r1)
+    prefix = jnp.where(a == 1, p1, jnp.where(a == 2, p2,
+                       jnp.where(a <= 7, p37, p8))).astype(jnp.uint32)
+
+    escape = jnp.uint32(1 << 16) | (
+        ((r << 10) | (ac & 0x3FF)).astype(jnp.uint32))
+    return jnp.where(bits == 22, escape, (prefix << 1) | sign)
+
+
 def dc_chain(dc, codec):
     """BS v3/v3dc DC delta chain (mdec.c:455-480). ``dc`` is the clamped
     quantized DC per block in encode order; returns delta & 0x1FF keys.
@@ -457,15 +509,15 @@ def _select_and_emit(c, q, bits_ps, nz_ps, dc_bits, dc_code, dc_total,
     scale = jnp.where(jnp.any(fits, axis=1), scale_idx + 1, 64).astype(
         jnp.int32)
 
-    # --- emit symbols for the chosen scale (the only place the 64K code
-    # LUT is gathered: 63x less traffic than gathering inside the sweep).
+    # --- emit symbols for the chosen scale; both bit lengths and code
+    # values are closed-form arithmetic (no 64K-LUT gather anywhere).
     qs_w = q[None, :] * (scale_idx + 1)[:, None]        # (B, 63)
     ac_w = _ac_quant(c, qs_w[:, :, None])               # (B, 63, NB)
     nz_w = ac_w != 0
     run_w = _runs(nz_w, axis=1)
-    key_w = (run_w << 10) | (ac_w & 0x3FF)
-    bits_w = jnp.where(nz_w, ac_bits_closed_form(run_w, jnp.abs(ac_w)), 0)
-    code_w = jnp.where(nz_w, jnp.asarray(AC_CODE_LUT)[key_w], 0)
+    bits_nz = ac_bits_closed_form(run_w, jnp.abs(ac_w))
+    bits_w = jnp.where(nz_w, bits_nz, 0)
+    code_w = jnp.where(nz_w, ac_code_closed_form(run_w, ac_w, bits_nz), 0)
     # Back to (B, NB, 63) for symbol-stream assembly.
     ac_w = ac_w.transpose(0, 2, 1)
     nz_w = nz_w.transpose(0, 2, 1)

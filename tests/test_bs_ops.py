@@ -22,6 +22,23 @@ def test_ac_bits_closed_form_exhaustive():
             np.argwhere(got != want)[:5]
 
 
+def test_ac_code_closed_form_exhaustive():
+    """Code values match AC_CODE_LUT for every possible (run, level) key,
+    both signs, including escapes (clamped levels span [-512, 510])."""
+    runs = np.arange(0, 63)
+    mags = np.arange(1, 513)
+    r, a = np.meshgrid(runs, mags, indexing="ij")
+    for sign in (1, -1):
+        ac = sign * a
+        bits = bs.ac_bits_closed_form(jnp.asarray(r), jnp.asarray(a))
+        got = np.asarray(bs.ac_code_closed_form(
+            jnp.asarray(r), jnp.asarray(ac), bits))
+        key = (r << 10) | (ac & 0x3FF)
+        want = bs.AC_CODE_LUT[key]
+        assert np.array_equal(got, want), \
+            (sign, np.argwhere(got != want)[:5])
+
+
 def test_div_rounded_half_away():
     n = jnp.asarray(np.arange(-10000, 10000, 7))
     for d in (2, 3, 16, 83 * 63):
