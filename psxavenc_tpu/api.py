@@ -115,9 +115,10 @@ def _frames_to_coefs(frames, width, height):
 
 @partial(jax.jit,
          static_argnames=("codec", "width", "height", "capacity_words",
-                          "pallas_sweep"))
+                          "pallas_sweep", "pallas_place"))
 def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
-                            capacity_words, pallas_sweep=None):
+                            capacity_words, pallas_sweep=None,
+                            pallas_place=None):
     """Fully fused BS frame batch: pixels in, packed bitstream words out.
 
     Nothing but the packed payload (and a few scalars) leaves the device —
@@ -129,19 +130,23 @@ def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
 
     if pallas_sweep is None:
         pallas_sweep = _use_pallas_sweep()
+    if pallas_place is None:
+        pallas_place = _use_pallas_sweep()
     coefs = _frames_to_coefs(frames, width, height)
     out = bs_ops.encode_frames_symbols(coefs, budgets, codec=codec,
                                        pallas_sweep=pallas_sweep)
 
-    def pack_one(codes, bits):
-        codes = jnp.concatenate([codes.reshape(-1),
-                                 jnp.array([eof], jnp.uint32)])
-        bits = jnp.concatenate([bits.reshape(-1).astype(jnp.int32),
-                                jnp.array([10], jnp.int32)])
-        return bitpack_ops.pack_bits(codes, bits,
-                                     capacity_words=capacity_words)
-
-    words, total_bits = jax.vmap(pack_one)(out["codes"], out["bits"])
+    # The 10-bit end-of-frame code rides as one synthetic extra block.
+    B, nb, s = out["codes"].shape
+    eof_codes = jnp.zeros((B, 1, s), jnp.uint32).at[:, 0, 0].set(eof)
+    eof_bits = jnp.zeros((B, 1, s), jnp.int32).at[:, 0, 0].set(10)
+    codes = jnp.concatenate(
+        [out["codes"].astype(jnp.uint32), eof_codes], axis=1)
+    bits = jnp.concatenate(
+        [out["bits"].astype(jnp.int32), eof_bits], axis=1)
+    words, total_bits = bitpack_ops.pack_frames_blocks(
+        codes, bits, capacity_words=capacity_words,
+        pallas_place=pallas_place)
     # uint16 halves the device->host payload; '<u2'.tobytes() is the
     # on-disk little-endian layout directly.
     return {"scale": out["scale"], "words": words.astype(jnp.uint16),

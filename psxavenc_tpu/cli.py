@@ -70,8 +70,15 @@ def main(argv=None):
 
     try:
         dec = ingest.open_av_data(args, _DECODER_FLAGS[args.format])
+    except ingest.OpenError:
+        # Detail already printed by the ingest layer (decoding.c prints
+        # its own message before main.c:66-68 adds this line).
+        print(f"Failed to open input file: {args.input_file}",
+              file=sys.stderr)
+        return 1
     except Exception as e:  # noqa: BLE001 — mirror the reference's exit path
-        print(f"Failed to open input file: {args.input_file} ({e})",
+        print(str(e), file=sys.stderr)
+        print(f"Failed to open input file: {args.input_file}",
               file=sys.stderr)
         return 1
 

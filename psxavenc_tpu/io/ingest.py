@@ -15,10 +15,12 @@ raw I420/NV12/NV21 video, raw PCM/YUV via explicit format hints. If an
 everything else.
 """
 
+import json
 import math
 import os
 import shutil
 import subprocess
+import sys
 
 import numpy as np
 
@@ -28,6 +30,14 @@ DECODER_USE_AUDIO = 1 << 0
 DECODER_USE_VIDEO = 1 << 1
 DECODER_AUDIO_REQUIRED = 1 << 2
 DECODER_VIDEO_REQUIRED = 1 << 3
+
+AV_TIME_BASE = 1000000  # libavutil microsecond time base
+
+
+class OpenError(Exception):
+    """Input rejected; the detail message has already been printed to
+    stderr (the reference prints inside open_av_data, decoding.c:168-200,
+    and main adds the generic line, main.c:66-68)."""
 
 
 class Decoder:
@@ -45,7 +55,10 @@ class Decoder:
         self.video_fps_den = 0
         self.channels = 1
         self.sample_rate = 0
-        self.loop_point_ms = -1  # milliseconds, -1 if none
+        self.loop_point_ms = -1  # milliseconds, -1 if none (smpl chunk)
+        self.loop_meta_ms = None     # "loop_start" metadata tag
+        self.loop_chapter_ms = None  # first chapter start
+        self.n_chapters = 0
         self.has_audio = False
         self.has_video = False
 
@@ -171,34 +184,180 @@ def _resample(samples, src_rate, dst_rate):
     return np.clip(np.rint(out), -32768, 32767).astype(np.int16)
 
 
-def _ffmpeg_audio(path, rate, channels):
+def _ffprobe(path):
+    """libavformat-equivalent stream/metadata probe via the ffprobe CLI."""
+    exe = shutil.which("ffprobe")
+    if exe is None:
+        return None
+    r = subprocess.run(
+        [exe, "-v", "error", "-show_streams", "-show_format",
+         "-show_chapters", "-of", "json", path], capture_output=True)
+    if r.returncode != 0:
+        return None
+    try:
+        return json.loads(r.stdout)
+    except json.JSONDecodeError:
+        return None
+
+
+def _probe_streams(probe, kind):
+    return [s for s in probe.get("streams", [])
+            if s.get("codec_type") == kind]
+
+
+def _validate_probe_streams(probe, flags):
+    """Single-track validation with the reference's exact messages
+    (decoding.c:168-200)."""
+    if flags & DECODER_USE_AUDIO:
+        n = len(_probe_streams(probe, "audio"))
+        if n > 1:
+            print("Input file must have a single audio track",
+                  file=sys.stderr)
+            raise OpenError()
+        if (flags & DECODER_AUDIO_REQUIRED) and n == 0:
+            print("Input file has no audio data", file=sys.stderr)
+            raise OpenError()
+    if flags & DECODER_USE_VIDEO:
+        n = len(_probe_streams(probe, "video"))
+        if n > 1:
+            print("Input file must have a single video track",
+                  file=sys.stderr)
+            raise OpenError()
+        if (flags & DECODER_VIDEO_REQUIRED) and n == 0:
+            print("Input file has no video data", file=sys.stderr)
+            raise OpenError()
+
+
+def _probe_loop_tags(dec, probe):
+    """loop_start metadata tag + first-chapter loop candidates
+    (decoding.c:344-365)."""
+    if probe is None:
+        return
+    tags = probe.get("format", {}).get("tags", {}) or {}
+    for key, value in tags.items():
+        if key.lower() == "loop_start":
+            try:
+                # AV_TIME_BASE (microsecond) units, C strtoll semantics.
+                dec.loop_meta_ms = int(
+                    (int(str(value).strip() or 0, 10) * 1000)
+                    // AV_TIME_BASE)
+            except ValueError:
+                dec.loop_meta_ms = 0
+            break
+    chapters = probe.get("chapters", []) or []
+    dec.n_chapters = len(chapters)
+    if chapters:
+        ch = chapters[0]
+        num, den = 1, 1
+        tb = ch.get("time_base", "1/1")
+        if "/" in tb:
+            num, den = (int(x) for x in tb.split("/", 1))
+        pts = float(ch.get("start", 0)) * num / den
+        dec.loop_chapter_ms = int(round(pts * 1000.0))
+
+
+def _swr_filter(args):
+    """aresample filter spec matching the reference's swr instance:
+    default options, output rate/layout, plus the raw -R option string
+    applied verbatim (decoding.c:237-255 + av_opt_set_from_string)."""
+    ch = args.audio_channels
+    spec = f"aresample=osr={args.audio_frequency}"
+    if ch == 1:
+        spec += ":ocl=mono"
+    elif ch == 2:
+        spec += ":ocl=stereo"
+    else:
+        spec += f":och={ch}"  # unspecified order (decoding.c:226)
+    if args.swresample_options:
+        spec += ":" + args.swresample_options.replace(",", ":")
+    return spec
+
+
+def _ffmpeg_audio(args, path):
+    """Decode + swresample via the ffmpeg CLI — the same libswresample
+    pipeline the reference drives in-process (decoding.c:205-255,
+    370-406)."""
     exe = shutil.which("ffmpeg")
     if exe is None:
         return None
     r = subprocess.run(
-        [exe, "-v", "error", "-i", path, "-map", "0:a:0", "-f", "s16le",
-         "-ar", str(rate), "-ac", str(channels), "-"],
+        [exe, "-v", "error", "-i", path, "-map", "0:a:0",
+         "-af", _swr_filter(args), "-f", "s16le", "-"],
         capture_output=True)
     if r.returncode != 0:
+        if args.swresample_options:
+            sys.stderr.write(r.stderr.decode(errors="replace"))
+            raise OpenError()
         return None
     x = np.frombuffer(r.stdout, dtype="<i2")
-    return x.reshape(-1, channels)
+    ch = args.audio_channels
+    return x[: len(x) // ch * ch].reshape(-1, ch)
 
 
-def _ffmpeg_video(path, width, height):
-    exe = shutil.which("ffmpeg")
+def _ffmpeg_frame_ptss(path):
+    """Per-frame presentation timestamps of the first video stream, in
+    seconds (what decoding.c:429 computes from frame->pts)."""
+    exe = shutil.which("ffprobe")
     if exe is None:
         return None
     r = subprocess.run(
-        [exe, "-v", "error", "-i", path, "-map", "0:v:0", "-f", "rawvideo",
-         "-pix_fmt", "nv21", "-s", f"{width}x{height}",
-         "-sws_flags", "bicubic", "-"],
+        [exe, "-v", "error", "-select_streams", "v:0", "-show_entries",
+         "frame=pts_time,best_effort_timestamp_time", "-of", "json", path],
         capture_output=True)
     if r.returncode != 0:
         return None
-    fsz = width * height * 3 // 2
+    try:
+        frames = json.loads(r.stdout).get("frames", [])
+    except json.JSONDecodeError:
+        return None
+    out = []
+    for i, fr in enumerate(frames):
+        v = fr.get("pts_time")
+        if v in (None, "N/A"):
+            v = fr.get("best_effort_timestamp_time")
+        if v in (None, "N/A"):
+            v = out[-1] if out else 0.0
+        out.append(float(v))
+    return out
+
+
+def _ffmpeg_video(args, path, src_w, src_h):
+    """Decode + swscale via the ffmpeg CLI with the reference's scaler
+    setup — BICUBIC, forced ITU-601 full-range output
+    (decoding.c:287-311) — at the aspect-adjusted size, followed by the
+    reference's CFR drop/duplicate retiming (decoding.c:408-478).
+
+    Returns (frames list, dst_w, dst_h) or None.
+    """
+    exe = shutil.which("ffmpeg")
+    if exe is None:
+        return None
+    dst_w, dst_h = adjust_video_size(args, src_w, src_h)
+    vf = (f"scale=w={dst_w}:h={dst_h}:flags=bicubic"
+          f":in_color_matrix=auto:out_color_matrix=bt601:out_range=pc")
+    if args.swscale_options:
+        vf += ":" + args.swscale_options.replace(",", ":")
+    r = subprocess.run(
+        [exe, "-v", "error", "-i", path, "-map", "0:v:0",
+         "-fps_mode", "passthrough", "-vf", vf, "-f", "rawvideo",
+         "-pix_fmt", "nv21", "-"],
+        capture_output=True)
+    if r.returncode != 0:
+        if args.swscale_options:
+            sys.stderr.write(r.stderr.decode(errors="replace"))
+            raise OpenError()
+        return None
+    fsz = dst_w * dst_h * 3 // 2
     n = len(r.stdout) // fsz
-    return np.frombuffer(r.stdout[:n * fsz], dtype=np.uint8).reshape(n, fsz)
+    raw = np.frombuffer(r.stdout[:n * fsz], dtype=np.uint8).reshape(n, fsz)
+    ptss = _ffmpeg_frame_ptss(path)
+    if ptss is None or len(ptss) < n:
+        ptss = (ptss or []) + [
+            i * args.str_fps_den / args.str_fps_num
+            for i in range(len(ptss or []), n)]
+    frames = _cfr_retime(list(raw), ptss[:n], args.str_fps_num,
+                         args.str_fps_den)
+    return frames, dst_w, dst_h
 
 
 def _cfr_retime(frames, ptss, fps_num, fps_den):
@@ -287,8 +446,36 @@ def adjust_video_size(args, src_w, src_h):
     return dst_w, dst_h
 
 
+def _quiet(args):
+    from ..cli_args import FLAG_QUIET
+
+    return bool(args.flags & FLAG_QUIET)
+
+
+def _warn_channels(args, src_channels):
+    # decoding.c:229-233
+    if args.audio_channels > src_channels and not _quiet(args):
+        print(f"Warning: input file has less than "
+              f"{args.audio_channels} channels", file=sys.stderr)
+
+
+def _warn_resolution(args, src_w, src_h):
+    # decoding.c:270-274 (compares the pre-aspect-adjust request).
+    if (args.video_width > src_w or args.video_height > src_h) \
+            and not _quiet(args):
+        print(f"Warning: input file has resolution lower than "
+              f"{args.video_width}x{args.video_height}", file=sys.stderr)
+
+
 def open_av_data(args, flags):
-    """Build a fully-decoded Decoder for the input file (decoding.c:131)."""
+    """Build a fully-decoded Decoder for the input file (decoding.c:131).
+
+    Native (ffmpeg-free) paths handle WAV, AVI and raw escape hatches;
+    everything else — and any input when ``-R``/``-S`` options must reach
+    the real swresample/swscale — goes through the ffmpeg CLI with the
+    reference's exact stream validation, aspect handling, ITU-601
+    colorspace setup and CFR retiming.
+    """
     dec = Decoder()
     dec.video_fps_num = args.str_fps_num
     dec.video_fps_den = args.str_fps_den
@@ -297,12 +484,29 @@ def open_av_data(args, flags):
 
     path = args.input_file
     ext = os.path.splitext(path)[1].lower()
+    raw_hint = ext in (".pcm", ".s16", ".nv21", ".yuv")
 
     avi = None
     if ext == ".avi":
         from . import avi as avimod
 
         avi = avimod.read_avi(path)
+
+    # The -R/-S option strings are applied verbatim to the real
+    # libswresample/libswscale (decoding.c:250-252,312-314), so any input
+    # carrying them routes through the ffmpeg CLI.
+    force_ffmpeg_audio = bool(args.swresample_options) and not raw_hint
+    force_ffmpeg_video = bool(args.swscale_options) and not raw_hint
+    probe = None
+
+    def get_probe():
+        nonlocal probe
+        if probe is None:
+            probe = _ffprobe(path)
+            if probe is not None:
+                _validate_probe_streams(probe, flags)
+                _probe_loop_tags(dec, probe)
+        return probe
 
     if flags & DECODER_USE_AUDIO:
         audio = None
@@ -313,8 +517,9 @@ def open_av_data(args, flags):
             raw = np.fromfile(path, dtype="<i2")
             ch = args.audio_channels
             audio = raw[: len(raw) // ch * ch].reshape(-1, ch)
-        elif ext == ".wav":
+        elif ext == ".wav" and not force_ffmpeg_audio:
             w = wavmod.read_wav(path)
+            _warn_channels(args, w.samples.shape[1])
             pcm = _remix_channels(w.samples, args.audio_channels)
             pcm = _resample(pcm, w.sample_rate, args.audio_frequency)
             audio = pcm
@@ -322,17 +527,32 @@ def open_av_data(args, flags):
                 # decoding.c:334-336: ms from the *source* sample rate.
                 pts = w.loop_start_offset / w.sample_rate
                 dec.loop_point_ms = int(round(pts * 1000.0))
-        elif avi is not None and avi.audio is not None:
+            else:
+                get_probe()  # loop_start tag fallback, when available
+        elif avi is not None and avi.audio is not None \
+                and not force_ffmpeg_audio:
+            _warn_channels(args, avi.audio.shape[1])
             pcm = _remix_channels(avi.audio, args.audio_channels)
             audio = _resample(pcm, avi.audio_rate, args.audio_frequency)
-        elif avi is None:
-            audio = _ffmpeg_audio(path, args.audio_frequency,
-                                  args.audio_channels)
-        if audio is not None:
+        else:
+            p = get_probe()
+            if p is None and force_ffmpeg_audio:
+                print("-R options require the ffmpeg/ffprobe binaries "
+                      "(not found on PATH)", file=sys.stderr)
+                raise OpenError()
+            if p is not None:
+                astreams = _probe_streams(p, "audio")
+                if astreams:
+                    _warn_channels(
+                        args, int(astreams[0].get("channels", 0)))
+                    audio = _ffmpeg_audio(args, path)
+        if audio is not None and len(audio):
             dec.audio = np.ascontiguousarray(audio).reshape(-1)
             dec.has_audio = True
         elif flags & DECODER_AUDIO_REQUIRED:
-            raise IOError(f"no decodable audio in {path}")
+            if audio is None:
+                print("Input file has no audio data", file=sys.stderr)
+            raise OpenError()
 
     if flags & DECODER_USE_VIDEO:
         frames = None
@@ -355,8 +575,9 @@ def open_av_data(args, flags):
                     frames.append(_scale_frame_nv21(y, cb, cr, w, h, w, h))
             else:
                 frames = list(raw)
-        elif avi is not None:
+        elif avi is not None and avi.frames and not force_ffmpeg_video:
             v = avi
+            _warn_resolution(args, v.width, v.height)
             dst_w, dst_h = adjust_video_size(args, v.width, v.height)
             dec.video_width, dec.video_height = dst_w, dst_h
             raw = [_scale_frame_nv21(y, cb, cr, v.width, v.height, dst_w,
@@ -365,22 +586,52 @@ def open_av_data(args, flags):
             frames = _cfr_retime(raw, ptss, args.str_fps_num,
                                  args.str_fps_den)
         else:
-            dec.video_width = args.video_width
-            dec.video_height = args.video_height
-            frames_arr = _ffmpeg_video(path, dec.video_width,
-                                       dec.video_height)
-            if frames_arr is not None:
-                frames = list(frames_arr)
+            p = get_probe()
+            if p is None and force_ffmpeg_video:
+                print("-S options require the ffmpeg/ffprobe binaries "
+                      "(not found on PATH)", file=sys.stderr)
+                raise OpenError()
+            if p is not None:
+                vstreams = _probe_streams(p, "video")
+                if vstreams:
+                    src_w = int(vstreams[0].get("width", 0))
+                    src_h = int(vstreams[0].get("height", 0))
+                    _warn_resolution(args, src_w, src_h)
+                    res = _ffmpeg_video(args, path, src_w, src_h)
+                    if res is not None:
+                        frames, dec.video_width, dec.video_height = res
         if frames:
             dec.video = np.stack(frames)
             dec.has_video = True
         elif flags & DECODER_VIDEO_REQUIRED:
-            raise IOError(f"no decodable video in {path}")
+            if frames is None:
+                print("Input file has no video data", file=sys.stderr)
+            raise OpenError()
 
     return dec
 
 
 def get_av_loop_point(dec, args):
-    """Loop point in ms (decoding.c:328-368); only smpl is supported by the
-    native WAV path. Returns -1 when absent."""
-    return dec.loop_point_ms if dec.has_audio else -1
+    """Loop point in ms with the reference's priority and stderr messages
+    (decoding.c:328-368): WAV smpl chunk -> "loop_start" metadata tag ->
+    first chapter. Returns -1 when absent."""
+    quiet = _quiet(args)
+    if dec.has_audio and dec.loop_point_ms >= 0:
+        if not quiet:
+            print(f"Detected loop point (from smpl data): "
+                  f"{dec.loop_point_ms} ms", file=sys.stderr)
+        return dec.loop_point_ms
+    if dec.loop_meta_ms is not None:
+        if not quiet:
+            print(f"Detected loop point (from metadata): "
+                  f"{dec.loop_meta_ms} ms", file=sys.stderr)
+        return dec.loop_meta_ms
+    if dec.n_chapters > 0:
+        if dec.n_chapters > 1 and not quiet:
+            print(f"Warning: input file has {dec.n_chapters} chapters, "
+                  f"using first one as loop point", file=sys.stderr)
+        if not quiet:
+            print(f"Detected loop point (from first chapter): "
+                  f"{dec.loop_chapter_ms} ms", file=sys.stderr)
+        return dec.loop_chapter_ms
+    return -1

@@ -43,8 +43,80 @@ def uniform_unit_layout(total_units, samples_available):
     return t * SAMPLES_PER_UNIT, samples_available - t * SAMPLES_PER_UNIT
 
 
+_PALLAS_MIN_UNITS = 256   # below this, compile/launch overhead dominates
+_PALLAS_SEG_UNITS = 4096  # time-axis segmenting bounds the 128-lane pad
+
+
+def _tpu_available():
+    import jax
+
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # noqa: BLE001 — no device/backend: fall back
+        return False
+
+
+def _unpack_words(words, shift_range):
+    """Pallas kernel word output -> (B, T, 28) sample values."""
+    vbits = 4 if shift_range == 12 else 8
+    per = 32 // vbits
+    shifts = np.arange(per, dtype=np.int64) * vbits
+    vals = (words[..., :, None] >> shifts) & ((1 << vbits) - 1)
+    return vals.reshape(words.shape[0], words.shape[1], -1)[
+        ..., :SAMPLES_PER_UNIT]
+
+
+def _encode_units_pallas_padded(units, lim, prev1, prev2, filter_count,
+                                shift_range):
+    """Run ops.adpcm_pallas on < 128 streams by padding the lane axis and
+    segmenting time: the fused kernel is ~2.3x the XLA scan per unit step,
+    and the CLI's 1-2 channel streams otherwise never reach it
+    (reference inner loop: adpcm.c:142-191)."""
+    import jax.numpy as jnpp
+
+    from ..ops import adpcm_pallas as pk
+
+    B, T = lim.shape
+    Bp = -(-B // 128) * 128
+    headers = np.zeros((B, T), np.int32)
+    values = np.zeros((B, T, SAMPLES_PER_UNIT), np.int64)
+    p1 = np.zeros(Bp, np.int32)
+    p2 = np.zeros(Bp, np.int32)
+    p1[:B] = prev1
+    p2[:B] = prev2
+    s1_last = p1[:B].copy()
+    s2_last = p2[:B].copy()
+    for t0 in range(0, T, _PALLAS_SEG_UNITS):
+        t1 = min(t0 + _PALLAS_SEG_UNITS, T)
+        tseg = t1 - t0
+        # Bucket the segment length so partial tails share programs.
+        tpad = max(64, 1 << (tseg - 1).bit_length())
+        useg = np.zeros((Bp, tpad, SAMPLES_PER_UNIT), np.int32)
+        lseg = np.zeros((Bp, tpad), np.int32)
+        useg[:B, :tseg] = units[:, t0:t1]
+        lseg[:B, :tseg] = lim[:, t0:t1]
+        h, w, s1, s2 = pk.encode_units_pallas(
+            jnpp.asarray(useg), jnpp.asarray(lseg), jnpp.asarray(p1),
+            jnpp.asarray(p2), filter_count=filter_count,
+            shift_range=shift_range)
+        h = np.asarray(h)
+        w = np.asarray(w)
+        s1 = np.asarray(s1)
+        s2 = np.asarray(s2)
+        headers[:, t0:t1] = h[:B, :tseg]
+        values[:, t0:t1] = _unpack_words(w, shift_range)[:B, :tseg]
+        # Thread exact state from the last real unit of the segment.
+        p1 = s1[:, tseg - 1].copy()
+        p2 = s2[:, tseg - 1].copy()
+        s1_last = p1[:B]
+        s2_last = p2[:B]
+    return (headers.astype(np.uint8),
+            values.astype(np.uint8), s1_last, s2_last)
+
+
 def encode_unit_streams(channel_samples, offsets, limits, filter_count,
-                        shift_range, prev1=None, prev2=None):
+                        shift_range, prev1=None, prev2=None,
+                        use_pallas=None):
     """Encode B channel streams' units on device.
 
     Args:
@@ -52,6 +124,8 @@ def encode_unit_streams(channel_samples, offsets, limits, filter_count,
       offsets: (B, T) int64 start sample of each unit.
       limits: (B, T) int64 per-unit limits (values > 28 behave as 28,
         values <= 0 mask the whole unit).
+      use_pallas: route long streams through the fused Mosaic kernel
+        (ops/adpcm_pallas.py) with a 128-lane pad; None = auto (TPU only).
     Returns:
       headers (B, T) uint8, nibbles (B, T, 28) uint8, and the exact
       decoder state (prev1, prev2) after the last real unit (bucket
@@ -72,6 +146,18 @@ def encode_unit_streams(channel_samples, offsets, limits, filter_count,
         idx.reshape(B, -1), axis=1).reshape(B, T, SAMPLES_PER_UNIT)
     lim = np.clip(limits, -(1 << 30), SAMPLES_PER_UNIT).astype(np.int32)
 
+    if prev1 is None:
+        prev1 = np.zeros(B, np.int32)
+    if prev2 is None:
+        prev2 = np.zeros(B, np.int32)
+
+    if use_pallas is None:
+        use_pallas = T >= _PALLAS_MIN_UNITS and _tpu_available()
+    if use_pallas:
+        return _encode_units_pallas_padded(
+            units, lim, np.asarray(prev1, np.int32),
+            np.asarray(prev2, np.int32), filter_count, shift_range)
+
     # Bucket T to the next power of two so different stream lengths share
     # compiled programs; padding units are fully masked (limit 0) and their
     # outputs are sliced away (the scan is causal, so they cannot affect
@@ -83,10 +169,6 @@ def encode_unit_streams(channel_samples, offsets, limits, filter_count,
             axis=1)
         lim = np.concatenate([lim, np.zeros((B, T_pad - T), np.int32)],
                              axis=1)
-    if prev1 is None:
-        prev1 = np.zeros(B, np.int32)
-    if prev2 is None:
-        prev2 = np.zeros(B, np.int32)
     headers, nibbles, s1, s2 = ops.encode_units_scan(
         jnp.asarray(units), jnp.asarray(lim), jnp.asarray(prev1),
         jnp.asarray(prev2), filter_count=filter_count,

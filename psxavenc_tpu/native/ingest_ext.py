@@ -1,0 +1,150 @@
+"""ctypes loader for the native FFmpeg-based ingest (psxav_ingest.cpp).
+
+Builds on demand against the system libav*/libswresample/libswscale — the
+same L0 libraries the reference encoder links (meson.build:9-17). When the
+toolchain or headers are unavailable, ``load()`` returns None and the
+Python ingest falls back to its ffmpeg-free paths.
+"""
+
+import ctypes
+import hashlib
+import os
+import pathlib
+import subprocess
+import tempfile
+
+import numpy as np
+
+_DIR = pathlib.Path(__file__).resolve().parent
+_SRC = _DIR / "psxav_ingest.cpp"
+
+_FFLIBS = ["libavformat", "libavcodec", "libavutil", "libswresample",
+           "libswscale"]
+
+
+class Req(ctypes.Structure):
+    _fields_ = [
+        ("path", ctypes.c_char_p),
+        ("flags", ctypes.c_int),
+        ("audio_frequency", ctypes.c_int),
+        ("audio_channels", ctypes.c_int),
+        ("video_width", ctypes.c_int),
+        ("video_height", ctypes.c_int),
+        ("ignore_aspect", ctypes.c_int),
+        ("fps_num", ctypes.c_int),
+        ("fps_den", ctypes.c_int),
+        ("quiet", ctypes.c_int),
+        ("swr_options", ctypes.c_char_p),
+        ("sws_options", ctypes.c_char_p),
+    ]
+
+
+class Res(ctypes.Structure):
+    _fields_ = [
+        ("audio", ctypes.POINTER(ctypes.c_int16)),
+        ("audio_count", ctypes.c_longlong),
+        ("video", ctypes.POINTER(ctypes.c_uint8)),
+        ("video_frames", ctypes.c_longlong),
+        ("video_width", ctypes.c_int),
+        ("video_height", ctypes.c_int),
+        ("has_audio", ctypes.c_int),
+        ("has_video", ctypes.c_int),
+        ("is_wav", ctypes.c_int),
+        ("has_loop_meta", ctypes.c_int),
+        ("loop_meta_ms", ctypes.c_longlong),
+        ("n_chapters", ctypes.c_int),
+        ("chapter0_ms", ctypes.c_longlong),
+    ]
+
+
+_lib = None
+_load_failed = False
+
+
+def _build():
+    src = _SRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    out = _DIR / f"libpsxav_ingest_{tag}.so"
+    if out.exists():
+        return out
+    pc = subprocess.run(
+        ["pkg-config", "--cflags", "--libs"] + _FFLIBS,
+        capture_output=True, text=True)
+    if pc.returncode != 0:
+        raise RuntimeError("ffmpeg dev libraries not found")
+    with tempfile.TemporaryDirectory() as td:
+        tmp = pathlib.Path(td) / out.name
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", str(_SRC),
+             "-o", str(tmp)] + pc.stdout.split(),
+            check=True, capture_output=True)
+        os.replace(tmp, out)
+    return out
+
+
+def load():
+    """The ctypes library, or None when it cannot be built/loaded."""
+    global _lib, _load_failed
+    if _lib is not None:
+        return _lib
+    if _load_failed or os.environ.get("PSXAVENC_NO_NATIVE_INGEST"):
+        return None
+    try:
+        lib = ctypes.CDLL(str(_build()))
+    except Exception:  # noqa: BLE001 — any build/load issue disables it
+        _load_failed = True
+        return None
+    lib.psxn_ingest_open.restype = ctypes.c_int
+    lib.psxn_ingest_open.argtypes = [ctypes.POINTER(Req),
+                                     ctypes.POINTER(Res)]
+    lib.psxn_ingest_free.restype = None
+    lib.psxn_ingest_free.argtypes = [ctypes.POINTER(Res)]
+    _lib = lib
+    return lib
+
+
+def ingest(path, *, flags, audio_frequency, audio_channels, video_width,
+           video_height, ignore_aspect, fps_num, fps_den, quiet,
+           swr_options=None, sws_options=None):
+    """Run the native ingest. Returns a dict, or raises OSError(code) with
+    code 1 (message already printed) / 2 (silent failure)."""
+    lib = load()
+    assert lib is not None
+    req = Req(
+        path=os.fsencode(path), flags=flags,
+        audio_frequency=audio_frequency, audio_channels=audio_channels,
+        video_width=video_width, video_height=video_height,
+        ignore_aspect=int(bool(ignore_aspect)), fps_num=fps_num,
+        fps_den=fps_den, quiet=int(bool(quiet)),
+        swr_options=swr_options.encode() if swr_options else None,
+        sws_options=sws_options.encode() if sws_options else None)
+    res = Res()
+    rc = lib.psxn_ingest_open(ctypes.byref(req), ctypes.byref(res))
+    if rc != 0:
+        raise OSError(rc, "native ingest failed")
+    try:
+        audio = np.zeros(0, np.int16)
+        if res.audio_count and res.audio:
+            audio = np.ctypeslib.as_array(
+                res.audio, shape=(res.audio_count,)).copy()
+        video = np.zeros((0, 0), np.uint8)
+        fsz = res.video_width * res.video_height * 3 // 2
+        if res.video_frames and res.video:
+            video = np.ctypeslib.as_array(
+                res.video, shape=(res.video_frames * fsz,)).copy()
+            video = video.reshape(res.video_frames, fsz)
+        return {
+            "audio": audio,
+            "video": video,
+            "video_width": res.video_width,
+            "video_height": res.video_height,
+            "has_audio": bool(res.has_audio),
+            "has_video": bool(res.has_video),
+            "is_wav": bool(res.is_wav),
+            "loop_meta_ms": (int(res.loop_meta_ms)
+                             if res.has_loop_meta else None),
+            "n_chapters": int(res.n_chapters),
+            "chapter0_ms": int(res.chapter0_ms),
+        }
+    finally:
+        lib.psxn_ingest_free(ctypes.byref(res))

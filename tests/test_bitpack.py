@@ -36,6 +36,58 @@ def test_pack_matches_native(seed):
     assert np.array_equal(dev_bytes[:used - 8], native_payload)
 
 
+def _rand_block_symbols(rng, nbe, s, fat_rows=()):
+    """Random (NBe, S) symbol streams shaped like real BS blocks."""
+    bits = rng.integers(0, 23, (nbe, s)).astype(np.int32)
+    bits[rng.random((nbe, s)) < 0.5] = 0
+    for r in fat_rows:   # force a block past the bcap window
+        bits[r, :] = 22
+    codes = np.zeros((nbe, s), np.uint32)
+    mask = bits > 0
+    codes[mask] = rng.integers(0, 1 << 30, mask.sum())
+    codes[mask] &= (1 << bits[mask].astype(np.uint32)) - 1
+    return codes, bits
+
+
+@pytest.mark.parametrize("seed,fat", [(0, ()), (1, ()), (2, (7,)),
+                                      (3, (0, 19))])
+def test_pack_blocks_matches_flat(seed, fat):
+    """Block packer == flat per-symbol packer, incl. the overflow
+    fallback path (fat rows exceed the 256-bit block window)."""
+    rng = np.random.default_rng(seed)
+    nbe, s = 20, 65
+    codes, bits = _rand_block_symbols(rng, nbe, s, fat_rows=fat)
+    total = int(bits.sum())
+    cap_words = (total + 15) // 16 + 4
+    w_ref, t_ref = bitpack.pack_bits(jnp.asarray(codes.reshape(-1)),
+                                     jnp.asarray(bits.reshape(-1)),
+                                     capacity_words=cap_words)
+    w, t = bitpack.pack_bits_blocks(jnp.asarray(codes), jnp.asarray(bits),
+                                    capacity_words=cap_words)
+    assert int(t) == int(t_ref) == total
+    assert np.array_equal(np.asarray(w), np.asarray(w_ref)), \
+        np.argwhere(np.asarray(w) != np.asarray(w_ref))[:5]
+
+
+def test_pack_blocks_word_aligned_boundaries():
+    """Blocks whose streams end exactly on word boundaries (sh == 0)."""
+    nbe, s = 8, 65
+    bits = np.zeros((nbe, s), np.int32)
+    codes = np.zeros((nbe, s), np.uint32)
+    bits[:, 0] = 16
+    codes[:, 0] = np.arange(1, nbe + 1, dtype=np.uint32) * 0x1111
+    bits[:, 1] = 16
+    codes[:, 1] = 0xBEEF
+    cap_words = 2 * nbe + 2
+    w_ref, _ = bitpack.pack_bits(jnp.asarray(codes.reshape(-1)),
+                                 jnp.asarray(bits.reshape(-1)),
+                                 capacity_words=cap_words)
+    w, t = bitpack.pack_bits_blocks(jnp.asarray(codes), jnp.asarray(bits),
+                                    capacity_words=cap_words)
+    assert int(t) == 32 * nbe
+    assert np.array_equal(np.asarray(w), np.asarray(w_ref))
+
+
 def test_pack_empty():
     words, total = bitpack.pack_bits(jnp.zeros(4, jnp.uint32),
                                      jnp.zeros(4, jnp.int32),

@@ -38,6 +38,20 @@ def test_sbs_golden(tmp_path, oracle, codec, w, h, n, align):
     assert ref == ours
 
 
+@pytest.mark.parametrize("src_fps,n", [(10, 4), (30, 10), (12, 5)])
+def test_strv_cfr_mismatch_golden(tmp_path, oracle, src_fps, n):
+    """Source frame rate != target: the CFR drop/duplicate retiming
+    (decoding.c:408-478) must produce the reference's exact frame
+    sequence and pacing — byte-identical output, no masking."""
+    w, h = 64, 64
+    frames = rand_frames(w, h, n, seed=100 + src_fps)
+    ref, ours = _encode_both(
+        tmp_path, (w, h, frames, src_fps, {}),
+        ["-t", "strv", "-s", f"{w}x{h}", "-r", "15"], "str")
+    assert len(ref) == len(ours)
+    assert ref == ours
+
+
 def test_strv_golden(tmp_path, oracle):
     w, h, n = 64, 64, 6
     frames = rand_frames(w, h, n, seed=7)

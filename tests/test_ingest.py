@@ -62,6 +62,18 @@ def test_q15_mono_to_stereo_exact():
     assert np.array_equal(y[:, 0], y[:, 1])
 
 
+class _FakeArgs:
+    def __init__(self, **kw):
+        self.audio_frequency = 44100
+        self.audio_channels = 1
+        self.swresample_options = None
+        self.swscale_options = None
+        self.str_fps_num = 15
+        self.str_fps_den = 1
+        self.flags = 0
+        self.__dict__.update(kw)
+
+
 def test_ffmpeg_cli_gate(tmp_path, monkeypatch):
     """With an ffmpeg binary on PATH, non-native formats decode through it."""
     fake = tmp_path / "bin" / "ffmpeg"
@@ -74,9 +86,76 @@ def test_ffmpeg_cli_gate(tmp_path, monkeypatch):
     fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
     monkeypatch.setenv("PATH", f"{fake.parent}:{os.environ['PATH']}")
 
-    out = ingest._ffmpeg_audio("whatever.mp3", 44100, 1)
+    out = ingest._ffmpeg_audio(_FakeArgs(), "whatever.mp3")
     assert out is not None and out.shape == (n, 1)
     assert np.array_equal(out[:, 0], pcm)
+
+
+def test_swr_filter_spec():
+    """The aresample spec mirrors the reference's swr setup incl. -R
+    passthrough (decoding.c:237-255)."""
+    a = _FakeArgs(audio_frequency=37800, audio_channels=2)
+    assert ingest._swr_filter(a) == "aresample=osr=37800:ocl=stereo"
+    a = _FakeArgs(audio_frequency=18900, audio_channels=1,
+                  swresample_options="filter_size=64,phase_shift=8")
+    assert ingest._swr_filter(a) == \
+        "aresample=osr=18900:ocl=mono:filter_size=64:phase_shift=8"
+    a = _FakeArgs(audio_channels=4)
+    assert ingest._swr_filter(a).endswith(":och=4")
+
+
+def test_probe_validation_messages(capsys):
+    """Stream-count validation prints the reference's exact messages
+    (decoding.c:168-200)."""
+    import pytest
+
+    probe = {"streams": [{"codec_type": "audio"},
+                         {"codec_type": "audio"}]}
+    with pytest.raises(ingest.OpenError):
+        ingest._validate_probe_streams(
+            probe, ingest.DECODER_USE_AUDIO)
+    assert "Input file must have a single audio track" in \
+        capsys.readouterr().err
+
+    probe = {"streams": [{"codec_type": "audio"}]}
+    with pytest.raises(ingest.OpenError):
+        ingest._validate_probe_streams(
+            probe, ingest.DECODER_USE_VIDEO | ingest.DECODER_VIDEO_REQUIRED)
+    assert "Input file has no video data" in capsys.readouterr().err
+
+
+def test_loop_point_priority_and_messages(capsys):
+    """smpl -> loop_start tag -> first chapter (decoding.c:328-368)."""
+    args = _FakeArgs()
+    dec = ingest.Decoder()
+    dec.has_audio = True
+    dec.loop_point_ms = 250
+    dec.loop_meta_ms = 500
+    dec.n_chapters = 2
+    dec.loop_chapter_ms = 750
+    assert ingest.get_av_loop_point(dec, args) == 250
+    assert "from smpl data): 250 ms" in capsys.readouterr().err
+    dec.loop_point_ms = -1
+    assert ingest.get_av_loop_point(dec, args) == 500
+    assert "from metadata): 500 ms" in capsys.readouterr().err
+    dec.loop_meta_ms = None
+    assert ingest.get_av_loop_point(dec, args) == 750
+    err = capsys.readouterr().err
+    assert "Warning: input file has 2 chapters, using first one as " \
+        "loop point" in err
+    assert "from first chapter): 750 ms" in err
+    dec.n_chapters = 0
+    assert ingest.get_av_loop_point(dec, args) == -1
+
+
+def test_probe_loop_tags_parsing():
+    dec = ingest.Decoder()
+    probe = {"format": {"tags": {"LOOP_START": "1500000"}},
+             "chapters": [{"start": 90, "time_base": "1/30"}]}
+    ingest._probe_loop_tags(dec, probe)
+    assert dec.loop_meta_ms == 1500   # AV_TIME_BASE units -> ms
+    assert dec.n_chapters == 1
+    assert dec.loop_chapter_ms == 3000
 
 
 def test_wav_smpl_loop_point(tmp_path):
