@@ -467,14 +467,63 @@ def _warn_resolution(args, src_w, src_h):
               f"{args.video_width}x{args.video_height}", file=sys.stderr)
 
 
+def _open_native_ingest(args, flags, path):
+    """Ingest through the native FFmpeg extension (the same libav*/swr/sws
+    stack the reference links): exact stream validation, resampling,
+    rescaling, colorspace, -R/-S option handling and CFR retiming.
+    Returns None when the extension is unavailable."""
+    from ..cli_args import FLAG_BS_IGNORE_ASPECT
+    from ..native import ingest_ext
+
+    if ingest_ext.load() is None:
+        return None
+    try:
+        r = ingest_ext.ingest(
+            path, flags=flags, audio_frequency=args.audio_frequency,
+            audio_channels=args.audio_channels,
+            video_width=args.video_width, video_height=args.video_height,
+            ignore_aspect=args.flags & FLAG_BS_IGNORE_ASPECT,
+            fps_num=args.str_fps_num, fps_den=args.str_fps_den,
+            quiet=_quiet(args), swr_options=args.swresample_options,
+            sws_options=args.swscale_options)
+    except OSError:
+        # Detail (if any) already printed by the extension, exactly like
+        # the reference's open_av_data; main adds the generic line.
+        raise OpenError()
+    dec = Decoder()
+    dec.video_fps_num = args.str_fps_num
+    dec.video_fps_den = args.str_fps_den
+    dec.channels = args.audio_channels
+    dec.sample_rate = args.audio_frequency
+    dec.audio = r["audio"]
+    dec.video = r["video"]
+    dec.video_width = r["video_width"]
+    dec.video_height = r["video_height"]
+    dec.has_audio = r["has_audio"]
+    dec.has_video = r["has_video"]
+    dec.loop_meta_ms = r["loop_meta_ms"]
+    dec.n_chapters = r["n_chapters"]
+    dec.loop_chapter_ms = r["chapter0_ms"] if r["n_chapters"] else None
+    if r["is_wav"] and r["has_audio"]:
+        # WAV smpl loop chunk, highest priority (decoding.c:330-341).
+        try:
+            w = wavmod.read_wav(path)
+            if w.loop_start_offset >= 0:
+                pts = w.loop_start_offset / w.sample_rate
+                dec.loop_point_ms = int(round(pts * 1000.0))
+        except Exception:  # noqa: BLE001 — smpl probe only
+            pass
+    return dec
+
+
 def open_av_data(args, flags):
     """Build a fully-decoded Decoder for the input file (decoding.c:131).
 
-    Native (ffmpeg-free) paths handle WAV, AVI and raw escape hatches;
-    everything else — and any input when ``-R``/``-S`` options must reach
-    the real swresample/swscale — goes through the ffmpeg CLI with the
-    reference's exact stream validation, aspect handling, ITU-601
-    colorspace setup and CFR retiming.
+    Preferred path: the native FFmpeg ingest extension — the reference's
+    own L0 stack, bit-exact by construction. Fallbacks (no ffmpeg dev
+    libraries): pure-Python WAV/AVI readers, then the ffmpeg CLI. Raw
+    escape-hatch extensions (.pcm/.s16/.nv21/.yuv) always bypass
+    libavformat.
     """
     dec = Decoder()
     dec.video_fps_num = args.str_fps_num
@@ -485,6 +534,11 @@ def open_av_data(args, flags):
     path = args.input_file
     ext = os.path.splitext(path)[1].lower()
     raw_hint = ext in (".pcm", ".s16", ".nv21", ".yuv")
+
+    if not raw_hint:
+        native = _open_native_ingest(args, flags, path)
+        if native is not None:
+            return native
 
     avi = None
     if ext == ".avi":

@@ -30,6 +30,27 @@ class BsFrameEncoder:
         self.height = height
         self.quant_scale_sum = 0
         self.frame_index = 0
+        # Multi-chip: with >1 device the frame batch axis shards over a
+        # 1-D mesh (parallel/mesh.py); identical bytes to single-device.
+        import jax
+
+        self._devices = jax.devices()
+        self._sharded_steps = {}
+
+    def _sharded_step(self, cap_words):
+        key = cap_words
+        step = self._sharded_steps.get(key)
+        if step is None:
+            from ..parallel import mesh as pm
+
+            mesh = pm.make_mesh(self._devices)
+            on_tpu = self._devices[0].platform == "tpu"
+            step = pm.packed_video_step(
+                mesh, codec=self.codec, width=self.width,
+                height=self.height, capacity_words=cap_words,
+                pallas_sweep=on_tpu, pallas_place=on_tpu)
+            self._sharded_steps[key] = step
+        return step
 
     def encode_frames(self, frames_nv21, frame_max_sizes):
         """Encode N frames with per-frame budgets -> list of (buffer, info).
@@ -46,17 +67,23 @@ class BsFrameEncoder:
         # budget.
         cap_bytes = int(max(frame_max_sizes))
         cap_words = max(1, (cap_bytes - 8 + 1) // 2)
-        for base in range(0, n, self.CHUNK):
-            chunk = list(range(base, min(base + self.CHUNK, n)))
-            pad = self.CHUNK - len(chunk)
+        n_dev = len(self._devices)
+        # Chunk granularity must divide over the mesh.
+        gran = -(-self.CHUNK // n_dev) * n_dev if n_dev > 1 else self.CHUNK
+        for base in range(0, n, gran):
+            chunk = list(range(base, min(base + gran, n)))
+            pad = gran - len(chunk)
             fr = np.stack([np.asarray(frames_nv21[i]) for i in chunk]
                           + [np.asarray(frames_nv21[chunk[-1]])] * pad)
             budgets = np.array(
                 [frame_max_sizes[i] for i in chunk]
                 + [frame_max_sizes[chunk[-1]]] * pad, np.int32)
-            out = api.bs_encode_frames_packed(
-                fr, budgets, codec=self.codec, width=self.width,
-                height=self.height, capacity_words=cap_words)
+            if n_dev > 1:
+                out = self._sharded_step(cap_words)(fr, budgets)
+            else:
+                out = api.bs_encode_frames_packed(
+                    fr, budgets, codec=self.codec, width=self.width,
+                    height=self.height, capacity_words=cap_words)
             words = np.asarray(out["words"])
             scales = np.asarray(out["scale"])
             total_bits = np.asarray(out["total_bits"])

@@ -93,7 +93,9 @@ def _pack_block_streams(codes, bits, offs, *, bcap):
         lsh = jnp.clip(ws + 16 - hi, 0, 31).astype(jnp.uint32)
         return acc | jnp.where(valid, chunk << lsh, jnp.uint32(0))
 
-    acc = jnp.zeros((NBe, bcap), jnp.uint32)
+    # Carry init derived from a (possibly shard_map-varying) operand so
+    # the loop is well-typed under manual axes.
+    acc = jnp.zeros((NBe, bcap), jnp.uint32) + codes[:, :1] * 0
     return jax.lax.fori_loop(0, S, body, acc)
 
 

@@ -445,10 +445,14 @@ def encode_frames_symbols(coefs, frame_max_sizes, *, codec,
             nz_ps = jax.lax.dynamic_update_slice(nz_ps, nc, (0, ci * PCH))
             return ci + 1, bits_ps, nz_ps
 
+        # Derive the carry init from a varying operand so the loop is
+        # well-typed under shard_map's manual axes.
+        vzero = (frame_max_sizes * 0)[:, None]
         _, bits_ps, nz_ps = jax.lax.while_loop(
             pcond, pbody,
-            (jnp.int32(0), jnp.full((B, 64), sentinel, jnp.int32),
-             jnp.zeros((B, 64), jnp.int32)))
+            (jnp.int32(0),
+             jnp.full((B, 64), sentinel, jnp.int32) + vzero,
+             jnp.zeros((B, 64), jnp.int32) + vzero))
         # Row 63 is scale 64 (chunk padding garbage): drop it.
         return _select_and_emit(c, q, bits_ps[:, :63], nz_ps[:, :63],
                                 dc_bits, dc_code, dc_total,
@@ -491,10 +495,12 @@ def encode_frames_symbols(coefs, frame_max_sizes, *, codec,
                 jnp.where(valid, nsum, nz_ps[:, idx]))
         return ci + 1, bits_ps, nz_ps
 
+    # Varying-typed carry init (see the pallas branch note).
+    vzero = (frame_max_sizes * 0)[:, None]
     _, bits_ps, nz_ps = jax.lax.while_loop(
         chunk_cond, chunk_body,
-        (jnp.int32(0), jnp.full((B, 63), sentinel, jnp.int32),
-         jnp.zeros((B, 63), jnp.int32)))
+        (jnp.int32(0), jnp.full((B, 63), sentinel, jnp.int32) + vzero,
+         jnp.zeros((B, 63), jnp.int32) + vzero))
 
     return _select_and_emit(c, q, bits_ps, nz_ps, dc_bits, dc_code,
                              dc_total, frame_max_sizes, B, nb)

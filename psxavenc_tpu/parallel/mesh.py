@@ -17,6 +17,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import api
 
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
 BATCH_AXIS = "batch"
 
 
@@ -36,6 +41,42 @@ def shard_batch(mesh, array):
 
 def _replicated(mesh):
     return NamedSharding(mesh, P())
+
+
+def packed_video_step(mesh, *, codec, width, height, capacity_words,
+                      pallas_sweep=False, pallas_place=False):
+    """The production sharded video encoder: pixels in, packed bitstream
+    words out, batch axis split over the mesh via shard_map (each device
+    runs the fused pipeline — incl. its Pallas kernels — on its local
+    shard; no compute-path collectives, SURVEY §2.2). The batch dimension
+    must be a multiple of the mesh size; callers pad.
+
+    Byte-for-byte identical to the single-device encoder — asserted by
+    tests/test_parallel.py and by every golden video test when the test
+    mesh has >1 device."""
+    spec = P(BATCH_AXIS)
+    fn = partial(api.bs_encode_frames_packed, codec=codec, width=width,
+                 height=height, capacity_words=capacity_words,
+                 pallas_sweep=pallas_sweep, pallas_place=pallas_place)
+    out_specs = {"scale": spec, "words": spec, "total_bits": spec,
+                 "nz_count": spec}
+    return jax.jit(shard_map(fn, mesh=mesh, in_specs=(spec, spec),
+                             out_specs=out_specs))
+
+
+def spu_blocks_step(mesh):
+    """Sharded SPU block encoder for file batches: (B, T, 28) units ->
+    (B, T, 16) blocks with the batch axis over the mesh."""
+    spec = P(BATCH_AXIS)
+
+    def fn(units, limits, prev1, prev2):
+        blocks, p1, p2 = api.spu_encode_blocks(units, limits, prev1,
+                                               prev2)
+        return blocks, p1, p2
+
+    return jax.jit(shard_map(
+        fn, mesh=mesh, in_specs=(spec, spec, spec, spec),
+        out_specs=(spec, spec, spec)))
 
 
 def encode_step_sharded(mesh, *, codec, width, height):

@@ -57,3 +57,53 @@ def test_entry_compiles():
     jax.block_until_ready(out)
     scale = int(out[0])
     assert 1 <= scale <= 63
+
+def test_packed_video_step_sharded_files():
+    """8 independent files' frames encode in ONE sharded step (one frame
+    per device) and the packed bitstreams match the single-device
+    encoder bit-for-bit (VERDICT round-1 item 7)."""
+    rng = np.random.default_rng(9)
+    width = height = 48
+    B = 8
+    cap = (4 * 2016 - 8) // 2
+    frames = rng.integers(0, 256,
+                          (B, width * height * 3 // 2)).astype(np.uint8)
+    budgets = np.full(B, 4 * 2016, dtype=np.int32)
+
+    mesh = pm.make_mesh()
+    step = pm.packed_video_step(mesh, codec=bs_ops.BS_V2, width=width,
+                                height=height, capacity_words=cap)
+    sharded = step(pm.shard_batch(mesh, frames),
+                   pm.shard_batch(mesh, budgets))
+    local = api.bs_encode_frames_packed(
+        frames, budgets, codec=bs_ops.BS_V2, width=width, height=height,
+        capacity_words=cap, pallas_sweep=False, pallas_place=False)
+    for k in ("words", "scale", "total_bits", "nz_count"):
+        assert np.array_equal(np.asarray(sharded[k]),
+                              np.asarray(local[k])), k
+
+
+def test_bs_frame_encoder_autoshards():
+    """With 8 devices the CLI's frame encoder shards its chunk batch; the
+    assembled frames must be identical to the plain batched encode (every
+    golden video test also exercises this path on the test mesh)."""
+    from psxavenc_tpu.models.bs_video import BsFrameEncoder
+
+    rng = np.random.default_rng(4)
+    width = height = 32
+    enc = BsFrameEncoder(bs_ops.BS_V2, width, height)
+    assert len(enc._devices) == 8
+    frames = [rng.integers(0, 256, width * height * 3 // 2).astype(
+        np.uint8) for _ in range(5)]
+    budgets = [4 * 2016] * 5
+    results = enc.encode_frames(frames, budgets)
+
+    out = api.bs_encode_frames_packed(
+        np.stack(frames), np.asarray(budgets, np.int32),
+        codec=bs_ops.BS_V2, width=width, height=height,
+        capacity_words=(4 * 2016 - 8) // 2, pallas_sweep=False,
+        pallas_place=False)
+    for i, (buf, info) in enumerate(results):
+        assert info["quant_scale"] == int(out["scale"][i])
+        payload = np.asarray(out["words"][i]).astype("<u2").tobytes()
+        assert bytes(buf[8:]) == payload[:len(buf) - 8]
