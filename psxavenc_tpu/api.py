@@ -115,23 +115,28 @@ def _frames_to_coefs(frames, width, height):
 
 @partial(jax.jit,
          static_argnames=("codec", "width", "height", "capacity_words",
-                          "pallas_sweep", "pallas_place"))
+                          "pallas_sweep", "packer"))
 def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
                             capacity_words, pallas_sweep=None,
-                            pallas_place=None):
+                            packer="blocks"):
     """Fully fused BS frame batch: pixels in, packed bitstream words out.
 
     Nothing but the packed payload (and a few scalars) leaves the device —
     the full rearrange/FDCT/quantize/RLE/scale-select/bit-pack pipeline is
     one XLA program. ``capacity_words`` must cover the largest budget:
     (max_frame_bytes - 8) // 2.
+
+    ``packer`` selects the bit-pack strategy: "blocks" (per-block dense
+    windows + word-level scatter — ~5x the per-symbol scatter on TPU
+    v5e: XLA scatter costs ~7 ns per scattered element, and the block
+    structure cuts elements 11x), "blocks_pallas" (the Mosaic per-block
+    pack + placement kernels), or "flat" (per-symbol scatter, the
+    semantics reference). All bit-identical.
     """
     eof = 0x1FF if codec == bs_ops.BS_V2 else 0x3FF
 
     if pallas_sweep is None:
         pallas_sweep = _use_pallas_sweep()
-    if pallas_place is None:
-        pallas_place = _use_pallas_sweep()
     coefs = _frames_to_coefs(frames, width, height)
     out = bs_ops.encode_frames_symbols(coefs, budgets, codec=codec,
                                        pallas_sweep=pallas_sweep)
@@ -144,9 +149,21 @@ def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
         [out["codes"].astype(jnp.uint32), eof_codes], axis=1)
     bits = jnp.concatenate(
         [out["bits"].astype(jnp.int32), eof_bits], axis=1)
-    words, total_bits = bitpack_ops.pack_frames_blocks(
-        codes, bits, capacity_words=capacity_words,
-        pallas_place=pallas_place)
+    # Materialize the symbol tensors before the scatter: without this
+    # barrier XLA fuses the whole emit computation into the scatter's
+    # operand windows and recomputes it per scattered element (~5x the
+    # entire pipeline cost, measured on v5e).
+    codes, bits = jax.lax.optimization_barrier((codes, bits))
+    if packer == "flat":
+        words, total_bits = jax.vmap(
+            lambda c, b: bitpack_ops.pack_bits(
+                c.reshape(-1), b.reshape(-1),
+                capacity_words=capacity_words))(codes, bits)
+    else:
+        words, total_bits = bitpack_ops.pack_frames_blocks(
+            codes, bits, capacity_words=capacity_words,
+            pallas_place=(packer == "blocks_pallas"),
+            pallas_pack=(packer == "blocks_pallas"))
     # uint16 halves the device->host payload; '<u2'.tobytes() is the
     # on-disk little-endian layout directly.
     return {"scale": out["scale"], "words": words.astype(jnp.uint16),

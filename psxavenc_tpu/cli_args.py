@@ -345,7 +345,9 @@ _FORMAT_PARSERS = {
     FORMAT_SBS: (None, _parse_bs, _parse_sbs),
 }
 
-USAGE = """Usage:
+# Help text byte-identical to the reference (args.c:114-518).
+USAGE = """\
+Usage:
     psxavenc -t xa|xacd   [xa-options]                              <in> <out.xa>
     psxavenc -t spu|vag   [spu-options]                             <in> <out.vag>
     psxavenc -t spui|vagi [spui-options]                            <in> <out.vag>
@@ -354,58 +356,91 @@ USAGE = """Usage:
     psxavenc -t sbs                      [bs-options] [sbs-options] <in> <out.sbs>
 """
 
-_GENERAL_HELP = """General options:
+_GENERAL_HELP = """\
+General options:
     -h                Show this help message and exit
     -V                Show version information and exit
     -q                Suppress all non-error messages
-    -t format         Select the output format (shown above)
-    -R key=value,...  Resampler options (accepted for compatibility)
-    -S key=value,...  Scaler options (accepted for compatibility)
+    -t format         Use (or show help for) specified output format
+                        xa:     [A.] XA-ADPCM, 2336-byte sectors
+                        xacd:   [A.] XA-ADPCM, 2352-byte sectors
+                        spu:    [A.] raw SPU-ADPCM mono data
+                        spui:   [A.] raw SPU-ADPCM interleaved data
+                        vag:    [A.] .vag SPU-ADPCM mono
+                        vagi:   [A.] .vag SPU-ADPCM interleaved
+                        str:    [AV] .str video + XA-ADPCM, 2336-byte sectors
+                        strcd:  [AV] .str video + XA-ADPCM, 2352-byte sectors
+                        strv:   [.V] .str video, 2048-byte sectors
+                        sbs:    [.V] .sbs video
+    -R key=value,...  Pass custom options to libswresample (see FFmpeg docs)
+    -S key=value,...  Pass custom options to libswscale (see FFmpeg docs)
 """
 
-_XA_HELP = """XA-ADPCM options:
-    -f 18900|37800    Sample rate (default 37800)
-    -c 1|2            Channel count (default 2)
-    -b 4|8            Bit depth (default 4)
-    -F 0-255          CD-XA file number (default 0)
-    -C 0-31           CD-XA channel number (default 0)
+_XA_HELP = """\
+XA-ADPCM options:
+    [-f 18900|37800] [-c 1|2] [-b 4|8] [-F 0-255] [-C 0-31]
+
+    -f 18900|37800    Use specified sample rate (default 37800)
+    -c 1|2            Use specified channel count (default 2)
+    -b 4|8            Use specified bit depth (default 4)
+    -F 0-255          Set CD-XA file number (for both audio and video, default 0)
+    -C 0-31           Set CD-XA channel number (for both audio and video, default 0)
 """
 
-_SPU_HELP = """Mono SPU-ADPCM options:
-    -f freq           Sample rate (default 44100)
-    -a size           Pad audio data to a multiple of this size (default 64)
-    -l ms             Loop point in milliseconds (overrides input file's)
-    -n                Disable looping entirely
-    -L                Set the loop end flag without adding a loop point
-    -D                Skip the leading silent block
+_SPU_HELP = """\
+Mono SPU-ADPCM options:
+    [-f freq] [-a size] [-l ms | -n | -L] [-D]
+
+    -f freq           Use specified sample rate (default 44100)
+    -a size           Pad audio data excluding header to multiple of given size (default 64)
+    -l ms             Add loop point at specified timestamp (in milliseconds, overrides any loop point present in input file)
+    -n                Do not set loop end flag nor add a loop point (even if input file has one)
+    -L                Set ADPCM loop end flag at end of data but do not add a loop point (even if input file has one)
+    -D                Do not prepend encoded data with a dummy silent block to reset decoder state
 """
 
-_SPUI_HELP = """Interleaved SPU-ADPCM options:
-    -f freq           Sample rate (default 44100)
-    -c channels       Channel count (default 2)
-    -i size           Channel interleave size (default 2048)
-    -a size           Chunk/header alignment (default 2048)
-    -l ms | -n        Loop point control for the header
-    -L                Set the loop end flag at each chunk's end
-    -D                Skip the leading silent block
+_SPUI_HELP = """\
+Interleaved SPU-ADPCM options:
+    [-f freq] [-c channels] [-i size] [-a size] [-l ms | -n] [-L] [-D]
+
+    -f freq           Use specified sample rate (default 44100)
+    -c channels       Use specified channel count (default 2)
+    -i size           Use specified channel interleave size (default 2048)
+    -a size           Pad .vag header and each audio chunk to multiples of given size (default 2048)
+    -l ms             Store specified timestamp in file header as loop point (in milliseconds, overrides any loop point present in input file)
+    -n                Do not store any loop point in file header (even if input file has one)
+    -L                Set ADPCM loop end flag at the end of each audio chunk (separately from loop point in file header)
+    -D                Do not prepend first chunk's data with a dummy silent block to reset decoder state
 """
 
-_BS_HELP = """Video options:
-    -v v2|v3|v3dc     BS codec version (default v2)
-    -s WxH            Target size, 16x16-640x512, 16-px steps (default 320x240)
-    -I                Stretch without preserving the aspect ratio
+_BS_HELP = """\
+Video options:
+    [-v v2|v3|v3dc] [-s WxH] [-I]
+
+    -v codec          Use specified video codec
+                        v2:   MDEC BS v2 (default)
+                        v3:   MDEC BS v3
+                        v3dc: MDEC BS v3, expect decoder to wrap DC coefficients
+    -s WxH            Rescale input file to fit within specified size (16x16-640x512 in 16-pixel increments, default 320x240)
+    -I                Force stretching to given size without preserving aspect ratio
 """
 
-_STR_HELP = """.str container options:
-    -r num[/den]      Frame rate (default 15)
-    -x 1|2            CD-ROM speed (default 2)
-    -T id             Video sector type ID (default 0x8001)
-    -A id             Audio sector type ID (default 0x0001)
-    -X                Put audio sectors after their video sectors
+_STR_HELP = """\
+.str container options:
+    [-r num[/den]] [-x 1|2] [-T id] [-A id] [-X]
+
+    -r num[/den]      Set video frame rate to specified integer or fraction (default 15)
+    -x 1|2            Set CD-ROM speed the file is meant to played at (default 2)
+    -T id             Tag video sectors with specified .str type ID (default 0x8001)
+    -A id             Tag SPU-ADPCM sectors with specified .str type ID (default 0x0001)
+    -X                Place audio sectors after corresponding video sectors rather than ahead of them
 """
 
-_SBS_HELP = """.sbs container options:
-    -a size           Size of each video frame (default 8192)
+_SBS_HELP = """\
+.sbs container options:
+    [-a size]
+
+    -a size           Set size of each video frame (default 8192)
 """
 
 # Per-format usage line + help sections (args.c:521-619 wiring).
@@ -447,15 +482,16 @@ _FORMAT_HELP_SECTIONS = {
 
 
 def print_help(fmt):
-    """Full help, or format-scoped help after -t (args.c:651-681)."""
+    """Full help, or format-scoped help after -t; text byte-identical to
+    the reference (args.c:114-518, 651-681)."""
     if fmt == FORMAT_INVALID:
         print(USAGE + "\n" + "\n".join(
             [_GENERAL_HELP, _XA_HELP, _SPU_HELP, _SPUI_HELP, _BS_HELP,
-             _STR_HELP, _SBS_HELP]), end="")
+             _STR_HELP, _SBS_HELP]))
         return
     sections = "\n".join(_FORMAT_HELP_SECTIONS[fmt])
     print(f"Usage:\n    {_FORMAT_USAGE[fmt]}\n\n{_GENERAL_HELP}\n"
-          f"{sections}", end="")
+          f"{sections}")
 
 
 def parse_args(args, options):

@@ -48,7 +48,7 @@ class BsFrameEncoder:
             step = pm.packed_video_step(
                 mesh, codec=self.codec, width=self.width,
                 height=self.height, capacity_words=cap_words,
-                pallas_sweep=on_tpu, pallas_place=on_tpu)
+                pallas_sweep=on_tpu)
             self._sharded_steps[key] = step
         return step
 

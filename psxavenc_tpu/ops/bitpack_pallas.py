@@ -23,6 +23,78 @@ from jax.experimental.pallas import tpu as pltpu
 
 BCAP = 16            # per-block stream words (== bitpack.BLOCK_CAP_WORDS)
 _GROUP = 128 // BCAP  # blocks per 128-lane row
+PACK_TILE = 512       # blocks per phase-1 tile (lane axis)
+
+
+def _pack_kernel(codes_ref, bits_ref, streams_ref, bbits_ref, *, nsym):
+    """Phase 1: per-block dense packing, blocks on lanes.
+
+    For each of the 65 symbols (statically unrolled), its three possible
+    16-bit word parts accumulate into a (BCAP, TILE) window via the same
+    windowed shift/mask formula as ops/bitpack._pack_block_streams — all
+    VPU ops out of VMEM, no scatter, no HBM round-trips."""
+    tp = codes_ref.shape[2]
+    ws = jax.lax.broadcasted_iota(jnp.int32, (BCAP, tp), 0) << 4
+    acc = jnp.zeros((BCAP, tp), jnp.uint32)
+    o = jnp.zeros((1, tp), jnp.int32)
+    one = jnp.uint32(1)
+    for i in range(nsym):
+        cd = codes_ref[0, i, :].reshape(1, tp).astype(jnp.uint32)
+        b = bits_ref[0, i, :].reshape(1, tp)
+        end = o + b
+        lo = jnp.maximum(o, ws)
+        hi = jnp.minimum(end, ws + 16)
+        n = hi - lo
+        valid = n > 0
+        rsh = jnp.clip(end - hi, 0, 31).astype(jnp.uint32)
+        nb_ = jnp.clip(n, 0, 31).astype(jnp.uint32)
+        chunk = (cd >> rsh) & ((one << nb_) - one)
+        lsh = jnp.clip(ws + 16 - hi, 0, 31).astype(jnp.uint32)
+        acc = acc | jnp.where(valid, chunk << lsh, jnp.uint32(0))
+        o = end
+    streams_ref[0] = acc.astype(jnp.int32)
+    bbits_ref[0] = o
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pack_block_streams_pallas(codes, bits, *, interpret=False):
+    """Per-block packing on device: (B, NBe, S) symbols ->
+    ((B, NBe, BCAP) u16-valued streams, (B, NBe) block bit counts).
+    Bit-identical to ops/bitpack._pack_block_streams (interpret-mode
+    tested); blocks whose stream exceeds BCAP*16 bits produce truncated
+    windows — callers gate on the bit counts and fall back."""
+    B, NBe, S = codes.shape
+    nbe_pad = -(-NBe // PACK_TILE) * PACK_TILE
+    ct = jnp.transpose(codes.astype(jnp.int32), (0, 2, 1))
+    bt = jnp.transpose(bits.astype(jnp.int32), (0, 2, 1))
+    if nbe_pad != NBe:
+        ct = jnp.pad(ct, ((0, 0), (0, 0), (0, nbe_pad - NBe)))
+        bt = jnp.pad(bt, ((0, 0), (0, 0), (0, nbe_pad - NBe)))
+    ntiles = nbe_pad // PACK_TILE
+
+    streams, bbits = pl.pallas_call(
+        functools.partial(_pack_kernel, nsym=S),
+        grid=(B, ntiles),
+        in_specs=[
+            pl.BlockSpec((1, S, PACK_TILE), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, PACK_TILE), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BCAP, PACK_TILE), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, PACK_TILE), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, BCAP, nbe_pad), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, nbe_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(ct, bt)
+    streams = jnp.transpose(streams, (0, 2, 1))[:, :NBe]
+    return streams, bbits[:, 0, :NBe]
 
 
 def _kernel(goff_ref, streams_ref, out_ref, *, nrows):

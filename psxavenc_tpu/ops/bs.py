@@ -425,35 +425,54 @@ def encode_frames_symbols(coefs, frame_max_sizes, *, codec,
         from . import bs_pallas
 
         PCH = bs_pallas.CHUNK
-        nchunks = -(-64 // PCH)
         sentinel = jnp.int32(1 << 29)
 
+        # Exact-safe scale skipping: a provable per-scale lower bound on
+        # the bitstream (minimum Huffman cost by |level| class, one cheap
+        # kernel pass) rules out scales that cannot be the reference's
+        # first-fit choice, so the sweep starts its first 16-scale chunk
+        # exactly at the first possibly-fitting scale. Selection is
+        # provably unchanged: skipped scales can never fit.
+        nz_all, lb_ac = bs_pallas.nz_counts_pallas(c)        # (B, 63)
+        lb_bits = lb_ac + dc_total[:, None] + 2 * nb + 10
+        lb_bytes = 8 + 2 * ((lb_bits + 15) >> 4)
+        lb_feasible = lb_bytes <= frame_max_sizes[:, None]  # (B, 63)
+        first_feasible = jnp.where(
+            jnp.any(lb_feasible, axis=1),
+            jnp.argmax(lb_feasible, axis=1), 62)
+        s_init = jnp.min(first_feasible).astype(jnp.int32)
+
+        # Per-scale tables padded so chunk writes at arbitrary offsets
+        # never clamp (dynamic_update_slice clips starts near the edge).
+        WIDE = 63 + PCH
+
         def pcond(state):
-            ci, bits_ps, _ = state
-            computed = jnp.arange(64) < ci * PCH
+            s_cur, bits_ps, _ = state
+            rng_ = jnp.arange(WIDE)
+            computed = (rng_ >= s_init) & (rng_ < s_cur) & (rng_ < 63)
             tb = 8 + 2 * ((bits_ps + dc_total[:, None] + 2 * nb + 10 + 15)
                           >> 4)
             fits_any = jnp.any((tb <= frame_max_sizes[:, None])
                                & computed[None, :], axis=1)
-            return (ci < nchunks) & ~jnp.all(fits_any)
+            return (s_cur < 63) & ~jnp.all(fits_any)
 
         def pbody(state):
-            ci, bits_ps, nz_ps = state
-            bc, nc = bs_pallas.sweep_chunk_pallas(c, ci * PCH)
+            s_cur, bits_ps, nz_ps = state
+            bc, nc = bs_pallas.sweep_chunk_pallas(c, s_cur)
             bits_ps = jax.lax.dynamic_update_slice(bits_ps, bc,
-                                                   (0, ci * PCH))
-            nz_ps = jax.lax.dynamic_update_slice(nz_ps, nc, (0, ci * PCH))
-            return ci + 1, bits_ps, nz_ps
+                                                   (0, s_cur))
+            nz_ps = jax.lax.dynamic_update_slice(nz_ps, nc, (0, s_cur))
+            return s_cur + PCH, bits_ps, nz_ps
 
         # Derive the carry init from a varying operand so the loop is
         # well-typed under shard_map's manual axes.
         vzero = (frame_max_sizes * 0)[:, None]
         _, bits_ps, nz_ps = jax.lax.while_loop(
             pcond, pbody,
-            (jnp.int32(0),
-             jnp.full((B, 64), sentinel, jnp.int32) + vzero,
-             jnp.zeros((B, 64), jnp.int32) + vzero))
-        # Row 63 is scale 64 (chunk padding garbage): drop it.
+            (s_init,
+             jnp.full((B, WIDE), sentinel, jnp.int32) + vzero,
+             jnp.zeros((B, WIDE), jnp.int32) + vzero))
+        # Columns >= 63 are chunk-overhang garbage: drop them.
         return _select_and_emit(c, q, bits_ps[:, :63], nz_ps[:, :63],
                                 dc_bits, dc_code, dc_total,
                                 frame_max_sizes, B, nb)

@@ -5,7 +5,7 @@ scale; this kernel keeps a coefficient tile resident in VMEM and runs all
 63 scales over it with zero HBM round-trips — the sweep's ~70 ops per
 (position, scale) execute out of vector registers.
 
-Grid: (B, NB_tiles); a 16-scale chunk loops inside, starting from a
+Grid: (B, NB_tiles); a CHUNK-scale chunk loops inside, starting from a
 runtime scale offset so the caller's early-exit loop (ops/bs.py) can stop
 after the first fitting chunk. Per-scale bit/nonzero totals accumulate in
 VMEM scratch across tiles and are written on the last tile.
@@ -26,7 +26,11 @@ from jax.experimental.pallas import tpu as pltpu
 from . import bs as bs_ops
 
 TILE = 512
-CHUNK = 16
+# 8 scales per sweep invocation: with the lower-bound-positioned dynamic
+# chunk start (ops/bs.py), the LB-to-chosen gap is 0-5 scales for typical
+# content (<= 13 for pure noise at mid budgets), so one or two 8-scale
+# chunks replace the old fixed 16-scale ones.
+CHUNK = 8
 
 
 def _cummax_cols(x):
@@ -90,6 +94,87 @@ def _kernel(s0_ref, c_ref, qcol_ref, rcp_ref, out_bits_ref, out_nz_ref,
     def _():
         out_bits_ref[0] = acc_bits[...]
         out_nz_ref[0] = acc_nz[...]
+
+
+def _nz_kernel(c_ref, qcol_ref, nz_ref, lb_ref, acc_nz, acc_lb):
+    nt = pl.program_id(1)
+    ntiles = pl.num_programs(1)
+
+    @pl.when(nt == 0)
+    def _():
+        acc_nz[...] = jnp.zeros_like(acc_nz)
+        acc_lb[...] = jnp.zeros_like(acc_lb)
+
+    c_abs = jnp.abs(c_ref[0])                      # (63, TILE)
+    q_col = qcol_ref[...]                          # (63, 1)
+
+    def scale_body(i, _):
+        s = i + 1
+        d = q_col * s
+        half = d >> 1
+        # round-half-away: level(|c|) >= k iff |c| >= k*d - d//2
+        # (mdec.c:434-439). Minimum Huffman cost by |level| class (best
+        # run for each): 1->3, 2->5, 3->6, 4->8, 5+->9 bits, i.e. the
+        # ladder weights 3/2/1/2/1.
+        nz = (c_abs >= d - half).astype(jnp.int32)
+        lb = (3 * nz + 2 * (c_abs >= 2 * d - half)
+              + (c_abs >= 3 * d - half) + 2 * (c_abs >= 4 * d - half)
+              + (c_abs >= 5 * d - half))
+        acc_nz[i, :] = acc_nz[i, :] + jnp.sum(nz, axis=0)
+        acc_lb[i, :] = acc_lb[i, :] + jnp.sum(lb, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, 63, scale_body, 0)
+
+    @pl.when(nt == ntiles - 1)
+    def _():
+        nz_ref[0] = acc_nz[...]
+        lb_ref[0] = acc_lb[...]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nz_counts_pallas(coefs_zz, *, interpret=False):
+    """Exact per-scale nonzero-AC counts and AC-bit lower bounds for ALL
+    63 scales in one pass.
+
+    Args: coefs_zz (B, 63, NB) int32 zigzag-ordered AC coefficients.
+    Returns (nz (B, 63) int32, lb_bits (B, 63) int32). lb_bits is a
+    provable lower bound on the AC bitstream size (minimum code cost by
+    |level| class), used by the scale sweep to skip scales that cannot
+    fit — exact-safe, the selected scale is unchanged.
+    """
+    B, P, NB = coefs_zz.shape
+    assert P == 63
+    nb_pad = -(-NB // TILE) * TILE
+    if nb_pad != NB:
+        coefs_zz = jnp.pad(coefs_zz, ((0, 0), (0, 0), (0, nb_pad - NB)))
+    ntiles = nb_pad // TILE
+
+    zz = bs_ops.ZAGZIG[1:]
+    qcol = jnp.asarray(bs_ops.QUANT_PSX[zz].astype(np.int32))[:, None]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B, ntiles),
+        in_specs=[pl.BlockSpec((1, 63, TILE), lambda b, t: (b, 0, t),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((63, 1), lambda b, t: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, 64, TILE), lambda b, t: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 64, TILE), lambda b, t: (b, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((64, TILE), jnp.int32),
+                        pltpu.VMEM((64, TILE), jnp.int32)],
+    )
+    nz, lb = pl.pallas_call(
+        _nz_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, 64, TILE), jnp.int32),
+                   jax.ShapeDtypeStruct((B, 64, TILE), jnp.int32)],
+        interpret=interpret,
+    )(coefs_zz, qcol)
+    return nz[:, :63].sum(axis=2), lb[:, :63].sum(axis=2)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -44,7 +44,7 @@ def _replicated(mesh):
 
 
 def packed_video_step(mesh, *, codec, width, height, capacity_words,
-                      pallas_sweep=False, pallas_place=False):
+                      pallas_sweep=False, packer="flat"):
     """The production sharded video encoder: pixels in, packed bitstream
     words out, batch axis split over the mesh via shard_map (each device
     runs the fused pipeline — incl. its Pallas kernels — on its local
@@ -57,7 +57,7 @@ def packed_video_step(mesh, *, codec, width, height, capacity_words,
     spec = P(BATCH_AXIS)
     fn = partial(api.bs_encode_frames_packed, codec=codec, width=width,
                  height=height, capacity_words=capacity_words,
-                 pallas_sweep=pallas_sweep, pallas_place=pallas_place)
+                 pallas_sweep=pallas_sweep, packer=packer)
     out_specs = {"scale": spec, "words": spec, "total_bits": spec,
                  "nz_count": spec}
     return jax.jit(shard_map(fn, mesh=mesh, in_specs=(spec, spec),

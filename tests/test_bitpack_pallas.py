@@ -82,3 +82,18 @@ def test_place_streams_pallas_word_aligned():
         capacity_words=cap, interpret=True)[0]
     assert np.array_equal(np.asarray(got),
                           np.asarray(want).astype(np.int32))
+
+
+@pytest.mark.parametrize("seed,nbe", [(4, 24), (5, 40)])
+def test_pack_block_streams_pallas_interpret(seed, nbe):
+    """Phase-1 kernel == the XLA per-block packer, streams + bit counts."""
+    rng = np.random.default_rng(seed)
+    codes, bits = _random_frame_symbols(rng, nbe)
+    offs = np.cumsum(bits, axis=1) - bits
+    want = np.asarray(bitpack._pack_block_streams(
+        jnp.asarray(codes), jnp.asarray(bits), jnp.asarray(offs),
+        bcap=bitpack.BLOCK_CAP_WORDS))
+    got_s, got_b = bpk.pack_block_streams_pallas(
+        jnp.asarray(codes)[None], jnp.asarray(bits)[None], interpret=True)
+    assert np.array_equal(np.asarray(got_s)[0].astype(np.uint32), want)
+    assert np.array_equal(np.asarray(got_b)[0], bits.sum(axis=1))

@@ -166,3 +166,26 @@ def test_wav_smpl_loop_point(tmp_path):
     w = wavmod.read_wav(wav)
     assert w.loop_start_offset == 2000
     assert w.sample_rate == 8000
+
+def test_help_text_byte_identical(capsys):
+    """-h output (general and every -t scope) matches args.c:114-518
+    byte for byte."""
+    import subprocess
+
+    import pytest
+
+    from psxavenc_tpu import cli
+    from psxavenc_tpu.utils.oracle import ORACLE, build_oracle
+
+    oracle = ORACLE if build_oracle() is not None else None
+    if oracle is None:
+        pytest.skip("reference oracle unavailable")
+    for fmt in (None, "xa", "xacd", "spu", "spui", "vag", "vagi", "str",
+                "strcd", "strspu", "strv", "sbs"):
+        args = ["-h"] + (["-t", fmt] if fmt else [])
+        rc = cli.main(args)
+        ours = capsys.readouterr().out
+        r = subprocess.run([str(oracle)] + args, capture_output=True,
+                           text=True)
+        assert rc == 1 and r.returncode == 1, fmt
+        assert ours == r.stdout, fmt

@@ -77,7 +77,7 @@ def test_packed_video_step_sharded_files():
                    pm.shard_batch(mesh, budgets))
     local = api.bs_encode_frames_packed(
         frames, budgets, codec=bs_ops.BS_V2, width=width, height=height,
-        capacity_words=cap, pallas_sweep=False, pallas_place=False)
+        capacity_words=cap, pallas_sweep=False)
     for k in ("words", "scale", "total_bits", "nz_count"):
         assert np.array_equal(np.asarray(sharded[k]),
                               np.asarray(local[k])), k
@@ -101,8 +101,7 @@ def test_bs_frame_encoder_autoshards():
     out = api.bs_encode_frames_packed(
         np.stack(frames), np.asarray(budgets, np.int32),
         codec=bs_ops.BS_V2, width=width, height=height,
-        capacity_words=(4 * 2016 - 8) // 2, pallas_sweep=False,
-        pallas_place=False)
+        capacity_words=(4 * 2016 - 8) // 2, pallas_sweep=False)
     for i, (buf, info) in enumerate(results):
         assert info["quant_scale"] == int(out["scale"][i])
         payload = np.asarray(out["words"][i]).astype("<u2").tobytes()

@@ -2,10 +2,16 @@
 """Stage-level device timing for the BS video pipeline.
 
 Times the fused encode (pixels -> packed words) and its stages on the
-current default device. On the axon TPU tunnel, block_until_ready is
-unreliable, so every timed program ends in a reduced-scalar checksum that
-is fetched to force completion; the (~ms) fetch latency is amortized by
-iterating.
+current default device.
+
+Measurement rules learned the hard way on the axon tunnel:
+- block_until_ready is unreliable; force completion with a reduced-scalar
+  checksum fetch.
+- A fetch costs ~25 ms; pipeline N async launches and fetch once, then
+  subtract a calibrated fetch baseline.
+- Arrays MUST be passed as jit arguments: closure-captured device arrays
+  become compile-time constants and XLA can constant-fold entire stages
+  (a "0.2 ms" scatter that really costs 150 ms).
 
 Usage: python tools/profile_video.py [batch] [iters]
 """
@@ -30,24 +36,20 @@ def timed(label, fn, iters):
         last = fn()   # async dispatch; device executes in order
     np.asarray(last)  # one fetch drains the whole queue
     dt = (time.monotonic() - t0 - _FETCH_BASELINE[0]) / iters
-    print(f"{label:44s} {dt * 1e3:9.2f} ms/batch", flush=True)
+    print(f"{label:48s} {dt * 1e3:9.2f} ms/batch", flush=True)
     return dt
 
 
-def calibrate_fetch(jax, jnp):
-    """One scalar round-trip through the axon tunnel (subtracted from
-    every measurement)."""
-    x = jax.device_put(np.zeros(8, np.float32))
-
+def calibrate_fetch(jax, probe):
     @jax.jit
-    def f():
+    def f(x):
         return x.sum()
 
-    np.asarray(f())
+    np.asarray(f(probe))
     samples = []
     for _ in range(6):
         t0 = time.monotonic()
-        np.asarray(f())
+        np.asarray(f(probe))
         samples.append(time.monotonic() - t0)
     _FETCH_BASELINE[0] = sorted(samples)[len(samples) // 2]
     print(f"fetch baseline: {_FETCH_BASELINE[0] * 1e3:.1f} ms",
@@ -73,35 +75,29 @@ def main():
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
     print(f"device: {dev}  batch={batch} iters={iters}", flush=True)
-    calibrate_fetch(jax, jnp)
 
     rng = np.random.default_rng(3)
     frames = jax.device_put(
         rng.integers(0, 256, (batch, W * H * 3 // 2)).astype(np.uint8))
     budgets = jax.device_put(np.full(batch, budget, np.int32))
+    calibrate_fetch(jax, budgets)
 
-    @jax.jit
-    def full(pallas_sweep, pallas_place):
-        pass  # placeholder (jit of closures below instead)
-
-    def make_full(sweep, place):
+    def make_full(packer):
         @jax.jit
-        def f():
+        def f(frames, budgets):
             out = api.bs_encode_frames_packed(
                 frames, budgets, codec=bs_ops.BS_V2, width=W, height=H,
-                capacity_words=cap, pallas_sweep=sweep,
-                pallas_place=place)
+                capacity_words=cap, pallas_sweep=on_tpu, packer=packer)
             return (out["words"].astype(jnp.int32).sum()
                     + out["scale"].sum() + out["total_bits"].sum())
-        return f
+        return lambda: f(frames, budgets)
 
     @jax.jit
-    def coefs_only():
-        c = api._frames_to_coefs(frames, W, H)
-        return c.sum()
+    def coefs_only(frames):
+        return api._frames_to_coefs(frames, W, H).sum()
 
     @jax.jit
-    def symbols_only():
+    def symbols_only(frames, budgets):
         c = api._frames_to_coefs(frames, W, H)
         out = bs_ops.encode_frames_symbols(c, budgets, codec=bs_ops.BS_V2,
                                            pallas_sweep=on_tpu)
@@ -119,43 +115,49 @@ def main():
     bitsarr = jax.device_put(np.asarray(jnp.concatenate(
         [out["bits"].astype(jnp.int32), eof_bits], axis=1)))
 
-    def make_pack(place):
+    def make_pack(place, pack=False):
         @jax.jit
-        def f():
+        def f(codes, bitsarr):
             w, t = bp.pack_frames_blocks(codes, bitsarr,
                                          capacity_words=cap,
-                                         pallas_place=place)
+                                         pallas_place=place,
+                                         pallas_pack=pack)
             return w.sum() + t.sum()
-        return f
+        return lambda: f(codes, bitsarr)
 
     @jax.jit
-    def pack_legacy():
+    def pack_flat(codes, bitsarr):
         w, t = jax.vmap(lambda cc, bb: bp.pack_bits(
             cc.reshape(-1), bb.reshape(-1), capacity_words=cap))(
             codes, bitsarr)
         return w.sum() + t.sum()
 
-    # Validate pallas placement vs XLA placement on this device first.
-    wa, ta = bp.pack_frames_blocks(codes, bitsarr, capacity_words=cap,
-                                   pallas_place=False)
+    # Validate the Mosaic pack kernels on this device first.
+    wa, _ = bp.pack_frames_blocks(codes, bitsarr, capacity_words=cap)
     if on_tpu:
-        wb, tb = bp.pack_frames_blocks(codes, bitsarr, capacity_words=cap,
-                                       pallas_place=True)
-        assert np.array_equal(np.asarray(wa), np.asarray(wb)), \
-            "pallas placement mismatch"
-        print("pallas placement: bit-exact vs XLA scatter on device")
-    wl, tl = pack_legacy(), None
-    del wl
+        for kwargs in ({"pallas_place": True}, {"pallas_pack": True}):
+            wb, _ = bp.pack_frames_blocks(codes, bitsarr,
+                                          capacity_words=cap, **kwargs)
+            assert np.array_equal(np.asarray(wa), np.asarray(wb)), kwargs
+        print("pallas pack kernels: bit-exact vs XLA packer on device")
 
-    timed("coefs (rearrange+FDCT)", coefs_only, iters)
-    timed("symbols (sweep+emit)", symbols_only, iters)
-    timed("pack legacy (per-symbol scatter)", pack_legacy, iters)
-    timed("pack blocks (XLA word scatter)", make_pack(False), iters)
+    timed("coefs (rearrange+FDCT)", lambda: coefs_only(frames), iters)
+    timed("symbols (sweep+emit)", lambda: symbols_only(frames, budgets),
+          iters)
+    timed("pack flat (per-symbol scatter)",
+          lambda: pack_flat(codes, bitsarr), iters)
+    timed("pack blocks (XLA p1 + scatter)", make_pack(False), iters)
     if on_tpu:
-        timed("pack blocks (pallas placement)", make_pack(True), iters)
-    timed("FULL xla-place", make_full(on_tpu, False), iters)
+        timed("pack blocks (XLA p1 + pallas place)", make_pack(True),
+              iters)
+        timed("pack blocks (pallas p1 + scatter)",
+              make_pack(False, True), iters)
+        timed("pack blocks (pallas p1 + pallas place)",
+              make_pack(True, True), iters)
+    dt = timed("FULL blocks", make_full("blocks"), iters)
     if on_tpu:
-        dt = timed("FULL pallas-place", make_full(on_tpu, True), iters)
+        dt = min(dt, timed("FULL blocks_pallas",
+                           make_full("blocks_pallas"), iters))
         print(f"device-side video: {batch / dt:.1f} fps")
 
 
