@@ -118,7 +118,7 @@ def _frames_to_coefs(frames, width, height):
                           "pallas_sweep", "packer"))
 def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
                             capacity_words, pallas_sweep=None,
-                            packer="blocks"):
+                            packer=None):
     """Fully fused BS frame batch: pixels in, packed bitstream words out.
 
     Nothing but the packed payload (and a few scalars) leaves the device —
@@ -126,18 +126,76 @@ def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
     one XLA program. ``capacity_words`` must cover the largest budget:
     (max_frame_bytes - 8) // 2.
 
-    ``packer`` selects the bit-pack strategy: "blocks" (per-block dense
-    windows + word-level scatter — ~5x the per-symbol scatter on TPU
-    v5e: XLA scatter costs ~7 ns per scattered element, and the block
-    structure cuts elements 11x), "blocks_pallas" (the Mosaic per-block
-    pack + placement kernels), or "flat" (per-symbol scatter, the
-    semantics reference). All bit-identical.
+    ``packer`` selects the bit-pack strategy: "fused" (Mosaic winner
+    emission + per-block pack in one kernel; TPU default), "blocks"
+    (XLA per-block dense windows; the default elsewhere), "blocks_pallas"
+    (per-block windows via the Mosaic kernels), or "flat" (per-symbol
+    scatter — the semantics reference, ~7x slower on v5e: XLA scatter
+    costs ~7 ns per scattered element and the block structure cuts
+    elements >20x). All bit-identical.
     """
     eof = 0x1FF if codec == bs_ops.BS_V2 else 0x3FF
 
     if pallas_sweep is None:
         pallas_sweep = _use_pallas_sweep()
+    if packer is None:
+        packer = "fused" if pallas_sweep else "blocks"
     coefs = _frames_to_coefs(frames, width, height)
+
+    if packer in ("fused", "fused_pallas"):
+        # Fused Mosaic winner-emission + per-block packing: the
+        # (B, NB, 65) code/bit tensors never exist. Falls back to the
+        # emitting path for batches with a >256-bit block stream.
+        from .ops import bs_pallas
+
+        sel = bs_ops.encode_frames_symbols(
+            coefs, budgets, codec=codec, pallas_sweep=pallas_sweep,
+            emit=False)
+        streams, block_bits = bs_pallas.emit_pack_pallas(
+            sel["c"], sel["scale_idx"] + 1, sel["dc_code"],
+            sel["dc_bits"])
+        B = streams.shape[0]
+        eof_stream = jnp.zeros((B, 1, streams.shape[2]),
+                               jnp.int32).at[:, 0, 0].set(eof << 6)
+        streams = jnp.concatenate([streams, eof_stream], axis=1)
+        block_bits = jnp.concatenate(
+            [block_bits, jnp.full((B, 1), 10, jnp.int32)], axis=1)
+        goff = jnp.cumsum(block_bits, axis=1) - block_bits
+        overflow = jnp.any(block_bits > 16 * bitpack_ops.BLOCK_CAP_WORDS)
+
+        def fast(_):
+            if packer == "fused_pallas":
+                from .ops import bitpack_pallas
+
+                total = goff[:, -1] + block_bits[:, -1]
+                return bitpack_pallas.place_streams_pallas(
+                    streams, goff, total,
+                    capacity_words=capacity_words).astype(jnp.uint32)
+            return jax.vmap(lambda st, go: bitpack_ops._place_streams(
+                st.astype(jnp.uint32), go,
+                capacity_words=capacity_words))(streams, goff)
+
+        def slow(_):
+            out = bs_ops.encode_frames_symbols(
+                coefs, budgets, codec=codec, pallas_sweep=pallas_sweep)
+            eof_codes = jnp.zeros((B, 1, out["codes"].shape[2]),
+                                  jnp.uint32).at[:, 0, 0].set(eof)
+            eof_bits = jnp.zeros((B, 1, out["bits"].shape[2]),
+                                 jnp.int32).at[:, 0, 0].set(10)
+            cs = jnp.concatenate(
+                [out["codes"].astype(jnp.uint32), eof_codes], axis=1)
+            bs_ = jnp.concatenate(
+                [out["bits"].astype(jnp.int32), eof_bits], axis=1)
+            w, _t = bitpack_ops.pack_frames_blocks(
+                cs, bs_, capacity_words=capacity_words)
+            return w.astype(jnp.uint32)
+
+        words = jax.lax.cond(overflow, slow, fast, 0)
+        return {"scale": sel["scale"],
+                "words": words.astype(jnp.uint16),
+                "total_bits": sel["total_bits"],
+                "nz_count": sel["nz_count"]}
+
     out = bs_ops.encode_frames_symbols(coefs, budgets, codec=codec,
                                        pallas_sweep=pallas_sweep)
 

@@ -100,18 +100,32 @@ def pack_block_streams_pallas(codes, bits, *, interpret=False):
 def _kernel(goff_ref, streams_ref, out_ref, *, nrows):
     out_ref[...] = jnp.zeros_like(out_ref)
 
+    lanes128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+    group_id = lanes128 >> 4
+    z128 = jnp.zeros((1, 128), jnp.uint32)
 
     def row_body(r, carry):
         win, base = carry
         row = streams_ref[0, r].reshape(1, 128).astype(jnp.uint32)
-        row = jnp.concatenate([row, jnp.zeros((1, 128), jnp.uint32)],
-                              axis=1)
+        # Vectorize the whole row's bit shifting: each 16-lane group gets
+        # its own block's sub-word shift, so the 8 blocks' contributions
+        # are computed in one pass.
+        gs = [goff_ref[0, 0, r * _GROUP + k] for k in range(_GROUP)]
+        sh = z128
         for k in range(_GROUP):
-            j = r * _GROUP + k
-            g = goff_ref[0, 0, j]
-            w0 = g >> 4
-            sh = (g & 15).astype(jnp.uint32)
+            sh = jnp.where(group_id == k, jnp.uint32(gs[k] & 15), sh)
+        row_prev = jnp.where((lanes128 & 15) != 0,
+                             pltpu.roll(row, 1, axis=1), jnp.uint32(0))
+        # Word i of a placed stream is (s[i] >> sh) | (s[i-1] << (16-sh)),
+        # MSB-first semantics; sh == 0 vanishes under the & 0xFFFF mask.
+        main = ((row >> sh) | ((row_prev << (16 - sh)) & 0xFFFF))
+        tail = (row << (16 - sh)) & 0xFFFF  # lane 16k+15 = block k's tail
+        main256 = jnp.concatenate([main, z128], axis=1)
+        tail256 = jnp.concatenate([tail, z128], axis=1)
+
+        for k in range(_GROUP):
+            w0 = gs[k] >> 4
             rel = w0 - base
 
             # Flush the lower half once the write cursor passes it. rel
@@ -121,8 +135,8 @@ def _kernel(goff_ref, streams_ref, out_ref, *, nrows):
 
             @pl.when(flush)
             def _():
-                out_ref[0, 0, pl.ds(pl.multiple_of(base, 128), 128)] = win[0, :128].astype(
-                    jnp.int32)
+                out_ref[0, 0, pl.ds(pl.multiple_of(base, 128), 128)] = \
+                    win[0, :128].astype(jnp.int32)
 
             win = jnp.where(flush,
                             jnp.where(lanes < 128,
@@ -132,25 +146,24 @@ def _kernel(goff_ref, streams_ref, out_ref, *, nrows):
             base = jnp.where(flush, base + 128, base)
             rel = jnp.where(flush, rel - 128, rel)
 
-            # Block k's BCAP words (lanes [BCAP*k, BCAP*(k+1)) of the
-            # row) move to lanes [0, BCAP), one static rotate.
-            s = pltpu.roll(row, 256 - BCAP * k, axis=1) if k else row
-            s = jnp.where(lanes < BCAP, s, jnp.uint32(0))
-            # Shifted contribution: word i of the placed stream is
-            # (s[i] >> sh) | (s[i-1] << (16-sh)), MSB-first semantics;
-            # sh == 0 vanishes under the & 0xFFFF mask.
-            s_prev = jnp.where(lanes > 0, pltpu.roll(s, 1, axis=1),
-                               jnp.uint32(0))
-            contrib = ((s >> sh) | ((s_prev << (16 - sh)) & 0xFFFF))
-            contrib = jnp.where(lanes <= BCAP, contrib, jnp.uint32(0))
+            # Block k's 17-word contribution gathered to lanes [0, 17):
+            # main words from lanes [16k, 16k+16), tail word to lane 16.
+            mk = pltpu.roll(main256, (256 - BCAP * k) % 256, axis=1) \
+                if k else main256
+            mk = jnp.where(lanes < BCAP, mk, jnp.uint32(0))
+            tk = pltpu.roll(tail256, (16 - (BCAP * k + 15)) % 256,
+                            axis=1)
+            contrib = mk | jnp.where(lanes == BCAP, tk, jnp.uint32(0))
             win = win | pltpu.roll(contrib, rel, axis=1)
         return win, base
 
     win, base = jax.lax.fori_loop(
         0, nrows, row_body,
         (jnp.zeros((1, 256), jnp.uint32), jnp.int32(0)))
-    out_ref[0, 0, pl.ds(pl.multiple_of(base, 128), 128)] = win[0, :128].astype(jnp.int32)
-    out_ref[0, 0, pl.ds(pl.multiple_of(base + 128, 128), 128)] = win[0, 128:].astype(jnp.int32)
+    out_ref[0, 0, pl.ds(pl.multiple_of(base, 128), 128)] = \
+        win[0, :128].astype(jnp.int32)
+    out_ref[0, 0, pl.ds(pl.multiple_of(base + 128, 128), 128)] = \
+        win[0, 128:].astype(jnp.int32)
 
 
 @functools.partial(jax.jit,

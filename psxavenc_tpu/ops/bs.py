@@ -376,9 +376,32 @@ def _runs(nz, axis):
     return posb - prev_excl - 1
 
 
-@partial(jax.jit, static_argnames=("codec", "pallas_sweep"))
+def _select_only(c, bits_ps, nz_ps, dc_bits, dc_code, dc_total,
+                 frame_max_sizes, nb):
+    """Scale selection without symbol emission (for the fused
+    emit+pack kernel path): returns the winner and its exact totals."""
+    per_scale_bits = bits_ps + dc_total[:, None] + 2 * nb + 10
+    total_bytes = 8 + 2 * ((per_scale_bits + 15) >> 4)
+    fits = total_bytes <= frame_max_sizes[:, None]
+    scale_idx = jnp.argmax(fits, axis=1)
+    scale = jnp.where(jnp.any(fits, axis=1), scale_idx + 1, 64).astype(
+        jnp.int32)
+    take = lambda x: jnp.take_along_axis(x, scale_idx[:, None],
+                                         axis=1)[:, 0]
+    return {
+        "scale": scale,
+        "scale_idx": scale_idx.astype(jnp.int32),
+        "nz_count": take(nz_ps),
+        "total_bits": take(per_scale_bits),
+        "c": c,
+        "dc_bits": dc_bits,
+        "dc_code": dc_code,
+    }
+
+
+@partial(jax.jit, static_argnames=("codec", "pallas_sweep", "emit"))
 def encode_frames_symbols(coefs, frame_max_sizes, *, codec,
-                          pallas_sweep=False):
+                          pallas_sweep=False, emit=True):
     """Quantize + symbolize a batch of frames at reference-chosen scales.
 
     Args:
@@ -427,20 +450,24 @@ def encode_frames_symbols(coefs, frame_max_sizes, *, codec,
         PCH = bs_pallas.CHUNK
         sentinel = jnp.int32(1 << 29)
 
-        # Exact-safe scale skipping: a provable per-scale lower bound on
-        # the bitstream (minimum Huffman cost by |level| class, one cheap
-        # kernel pass) rules out scales that cannot be the reference's
-        # first-fit choice, so the sweep starts its first 16-scale chunk
-        # exactly at the first possibly-fitting scale. Selection is
-        # provably unchanged: skipped scales can never fit.
-        nz_all, lb_ac = bs_pallas.nz_counts_pallas(c)        # (B, 63)
+        # Exact-safe scale skipping: a provable, monotone-in-scale lower
+        # bound on the bitstream (minimum Huffman cost by |level| class,
+        # one cheap kernel pass over the LB_PROBES grid) rules out every
+        # scale at or below the last infeasible probe, so the sweep
+        # starts its first chunk just past it. Selection is provably
+        # unchanged: skipped scales can never fit.
+        lb_ac = bs_pallas.lb_probe_pallas(c)     # (B, NPROBE)
         lb_bits = lb_ac + dc_total[:, None] + 2 * nb + 10
         lb_bytes = 8 + 2 * ((lb_bits + 15) >> 4)
-        lb_feasible = lb_bytes <= frame_max_sizes[:, None]  # (B, 63)
-        first_feasible = jnp.where(
-            jnp.any(lb_feasible, axis=1),
-            jnp.argmax(lb_feasible, axis=1), 62)
-        s_init = jnp.min(first_feasible).astype(jnp.int32)
+        infeasible = lb_bytes > frame_max_sizes[:, None]
+        probes = jnp.asarray(bs_pallas.LB_PROBES, jnp.int32)
+        nprobe = probes.shape[0]
+        last_inf = jnp.where(
+            jnp.any(infeasible, axis=1),
+            nprobe - 1 - jnp.argmax(infeasible[:, ::-1], axis=1), -1)
+        start_idx = jnp.where(last_inf >= 0,
+                              probes[jnp.maximum(last_inf, 0)] + 1, 0)
+        s_init = jnp.minimum(jnp.min(start_idx), 62).astype(jnp.int32)
 
         # Per-scale tables padded so chunk writes at arbitrary offsets
         # never clamp (dynamic_update_slice clips starts near the edge).
@@ -473,6 +500,10 @@ def encode_frames_symbols(coefs, frame_max_sizes, *, codec,
              jnp.full((B, WIDE), sentinel, jnp.int32) + vzero,
              jnp.zeros((B, WIDE), jnp.int32) + vzero))
         # Columns >= 63 are chunk-overhang garbage: drop them.
+        if not emit:
+            return _select_only(c, bits_ps[:, :63], nz_ps[:, :63],
+                                dc_bits, dc_code, dc_total,
+                                frame_max_sizes, nb)
         return _select_and_emit(c, q, bits_ps[:, :63], nz_ps[:, :63],
                                 dc_bits, dc_code, dc_total,
                                 frame_max_sizes, B, nb)
@@ -521,6 +552,9 @@ def encode_frames_symbols(coefs, frame_max_sizes, *, codec,
         (jnp.int32(0), jnp.full((B, 63), sentinel, jnp.int32) + vzero,
          jnp.zeros((B, 63), jnp.int32) + vzero))
 
+    if not emit:
+        return _select_only(c, bits_ps, nz_ps, dc_bits, dc_code,
+                            dc_total, frame_max_sizes, nb)
     return _select_and_emit(c, q, bits_ps, nz_ps, dc_bits, dc_code,
                              dc_total, frame_max_sizes, B, nb)
 

@@ -96,52 +96,52 @@ def _kernel(s0_ref, c_ref, qcol_ref, rcp_ref, out_bits_ref, out_nz_ref,
         out_nz_ref[0] = acc_nz[...]
 
 
-def _nz_kernel(c_ref, qcol_ref, nz_ref, lb_ref, acc_nz, acc_lb):
+# Probed scales for the sweep's lower-bound positioning (0-based scale
+# indices). The LB is provably monotone non-increasing in scale (each
+# |level|>=k threshold k*q*s - (q*s)//2 is non-decreasing in s), so a
+# probe grid is exact-safe: every scale at or below the last infeasible
+# probe is infeasible.
+LB_PROBES = tuple(range(3, 63, 4))
+
+
+def _lb_kernel(c_ref, qcol_ref, lb_ref, acc_lb):
     nt = pl.program_id(1)
     ntiles = pl.num_programs(1)
 
     @pl.when(nt == 0)
     def _():
-        acc_nz[...] = jnp.zeros_like(acc_nz)
         acc_lb[...] = jnp.zeros_like(acc_lb)
 
     c_abs = jnp.abs(c_ref[0])                      # (63, TILE)
     q_col = qcol_ref[...]                          # (63, 1)
 
-    def scale_body(i, _):
-        s = i + 1
+    for i, sidx in enumerate(LB_PROBES):
+        s = sidx + 1
         d = q_col * s
         half = d >> 1
         # round-half-away: level(|c|) >= k iff |c| >= k*d - d//2
         # (mdec.c:434-439). Minimum Huffman cost by |level| class (best
         # run for each): 1->3, 2->5, 3->6, 4->8, 5+->9 bits, i.e. the
         # ladder weights 3/2/1/2/1.
-        nz = (c_abs >= d - half).astype(jnp.int32)
-        lb = (3 * nz + 2 * (c_abs >= 2 * d - half)
+        lb = (3 * (c_abs >= d - half).astype(jnp.int32)
+              + 2 * (c_abs >= 2 * d - half)
               + (c_abs >= 3 * d - half) + 2 * (c_abs >= 4 * d - half)
               + (c_abs >= 5 * d - half))
-        acc_nz[i, :] = acc_nz[i, :] + jnp.sum(nz, axis=0)
         acc_lb[i, :] = acc_lb[i, :] + jnp.sum(lb, axis=0)
-        return 0
-
-    jax.lax.fori_loop(0, 63, scale_body, 0)
 
     @pl.when(nt == ntiles - 1)
     def _():
-        nz_ref[0] = acc_nz[...]
         lb_ref[0] = acc_lb[...]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def nz_counts_pallas(coefs_zz, *, interpret=False):
-    """Exact per-scale nonzero-AC counts and AC-bit lower bounds for ALL
-    63 scales in one pass.
+def lb_probe_pallas(coefs_zz, *, interpret=False):
+    """Provable AC-bitstream lower bounds at the LB_PROBES scales.
 
     Args: coefs_zz (B, 63, NB) int32 zigzag-ordered AC coefficients.
-    Returns (nz (B, 63) int32, lb_bits (B, 63) int32). lb_bits is a
-    provable lower bound on the AC bitstream size (minimum code cost by
-    |level| class), used by the scale sweep to skip scales that cannot
-    fit — exact-safe, the selected scale is unchanged.
+    Returns (B, len(LB_PROBES)) int32. Used by the scale sweep to place
+    its first chunk past scales that provably cannot fit — exact-safe,
+    the selected scale is unchanged (tests/test_bs_pallas.py).
     """
     B, P, NB = coefs_zz.shape
     assert P == 63
@@ -149,6 +149,8 @@ def nz_counts_pallas(coefs_zz, *, interpret=False):
     if nb_pad != NB:
         coefs_zz = jnp.pad(coefs_zz, ((0, 0), (0, 0), (0, nb_pad - NB)))
     ntiles = nb_pad // TILE
+    nprobe = len(LB_PROBES)
+    np_pad = -(-nprobe // 8) * 8
 
     zz = bs_ops.ZAGZIG[1:]
     qcol = jnp.asarray(bs_ops.QUANT_PSX[zz].astype(np.int32))[:, None]
@@ -160,21 +162,172 @@ def nz_counts_pallas(coefs_zz, *, interpret=False):
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((63, 1), lambda b, t: (0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((1, 64, TILE), lambda b, t: (b, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 64, TILE), lambda b, t: (b, 0, 0),
+        out_specs=[pl.BlockSpec((1, np_pad, TILE), lambda b, t: (b, 0, 0),
                                 memory_space=pltpu.VMEM)],
-        scratch_shapes=[pltpu.VMEM((64, TILE), jnp.int32),
-                        pltpu.VMEM((64, TILE), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((np_pad, TILE), jnp.int32)],
     )
-    nz, lb = pl.pallas_call(
-        _nz_kernel,
+    (lb,) = pl.pallas_call(
+        _lb_kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((B, 64, TILE), jnp.int32),
-                   jax.ShapeDtypeStruct((B, 64, TILE), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((B, np_pad, TILE), jnp.int32)],
         interpret=interpret,
     )(coefs_zz, qcol)
-    return nz[:, :63].sum(axis=2), lb[:, :63].sum(axis=2)
+    return lb[:, :nprobe].sum(axis=2)
+
+
+def _cumsum_excl_cols(x):
+    """Exclusive prefix sum along axis 0 via Hillis-Steele log-shifts."""
+    n = x.shape[0]
+    ii = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    k = 1
+    while k < n:
+        shifted = pltpu.roll(x, k, 0)
+        x = x + jnp.where(ii >= k, shifted, 0)
+        k *= 2
+    rolled = pltpu.roll(x, 1, 0)
+    return jnp.where(ii > 0, rolled, 0)
+
+
+def _emit_pack_kernel(scale_ref, c_ref, dcc_ref, dcb_ref, qcol_ref,
+                      rcp_ref, streams_ref, bbits_ref):
+    b = pl.program_id(0)
+    s = scale_ref[b]
+
+    c = c_ref[0]                                   # (63, TILE)
+    tp = c.shape[1]
+    q_col = qcol_ref[...]
+    rcp_base = rcp_ref[...]
+    dc_code = dcc_ref[0, 0, :].reshape(1, tp).astype(jnp.uint32)
+    dc_bits = dcb_ref[0, 0, :].reshape(1, tp)
+
+    # --- quantize at the winning scale (exact round-half-away via f32
+    # reciprocal + integer correction, as bs._div_rounded_fast).
+    a = jnp.abs(c)
+    d = q_col * s
+    t = a + (d >> 1)
+    rcp = rcp_base * (1.0 / s.astype(jnp.float32))
+    q0 = (t.astype(jnp.float32) * rcp).astype(jnp.int32)
+    r = t - q0 * d
+    mag = q0 + (r >= d).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    ac = jnp.where(c < 0, -mag, mag)
+    ac = jnp.clip(ac, -0x200, 0x1FE)               # mdec.c:262-267
+    magc = jnp.abs(ac)
+
+    # --- run lengths, closed-form bit lengths and code values.
+    nz = magc != 0
+    pos = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0) + 1
+    nzpos = jnp.where(nz, pos, 0)
+    prev = _cummax_cols(nzpos)
+    prev_excl = jnp.where(pos > 1, pltpu.roll(prev, 1, 0), 0)
+    run = pos - prev_excl - 1
+    bits_nz = bs_ops.ac_bits_closed_form(run, magc)
+    bits = jnp.where(nz, bits_nz, 0)
+    code = jnp.where(nz, bs_ops.ac_code_closed_form(run, ac, bits_nz),
+                     jnp.uint32(0))
+
+    # --- in-block offsets: DC first, ACs in scan order, EOB last.
+    offs = dc_bits + _cumsum_excl_cols(bits)       # (63, TILE)
+    total = offs[62:63, :] + bits[62:63, :]        # after last AC
+    bbits_ref[0, 0, :] = (total + 2)[0]
+
+    # --- dense window packing into the (BCAP, TILE) per-block streams
+    # (same placement formula as bitpack._pack_block_streams).
+    from . import bitpack_pallas as bpk
+
+    ws = jax.lax.broadcasted_iota(jnp.int32, (bpk.BCAP, tp), 0) << 4
+    one = jnp.uint32(1)
+
+    def place(acc, o_row, b_row, c_row):
+        end = o_row + b_row
+        lo = jnp.maximum(o_row, ws)
+        hi = jnp.minimum(end, ws + 16)
+        n = hi - lo
+        rsh = jnp.clip(end - hi, 0, 31).astype(jnp.uint32)
+        nb_ = jnp.clip(n, 0, 31).astype(jnp.uint32)
+        chunk = (c_row >> rsh) & ((one << nb_) - one)
+        lsh = jnp.clip(ws + 16 - hi, 0, 31).astype(jnp.uint32)
+        return acc | jnp.where(n > 0, chunk << lsh, jnp.uint32(0))
+
+    acc = jnp.zeros((bpk.BCAP, tp), jnp.uint32)
+    acc = place(acc, jnp.zeros((1, tp), jnp.int32), dc_bits, dc_code)
+    for i in range(63):
+        acc = place(acc, offs[i:i + 1], bits[i:i + 1],
+                    code[i:i + 1].astype(jnp.uint32))
+    acc = place(acc, total, jnp.full((1, tp), 2, jnp.int32),
+                jnp.full((1, tp), 0x2, jnp.uint32))
+    streams_ref[0] = acc.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def emit_pack_pallas(coefs_zz, scale, dc_code, dc_bits, *,
+                     interpret=False):
+    """Fused winner emission + per-block packing.
+
+    One Mosaic pass from zigzag AC coefficients to per-block bitstream
+    windows: quantize at the chosen scale, run-length, closed-form
+    Huffman bits/codes, in-block offsets, and the dense window pack —
+    the (B, NB, 65) code/bit tensors never touch HBM.
+
+    Args:
+      coefs_zz: (B, 63, NB) int32 zigzag AC coefficients.
+      scale: (B,) int32 winning quant scale (1..63).
+      dc_code: (B, NB) uint32/int32 DC Huffman codes.
+      dc_bits: (B, NB) int32 DC code lengths.
+    Returns (streams (B, NB, BCAP) int32, block_bits (B, NB) int32),
+    identical to emitting symbols and running
+    bitpack._pack_block_streams (interpret-mode tested). Blocks over
+    BCAP*16 bits truncate; callers gate on block_bits and fall back.
+    """
+    from . import bitpack_pallas as bpk
+
+    B, P, NB = coefs_zz.shape
+    assert P == 63
+    nb_pad = -(-NB // TILE) * TILE
+    if nb_pad != NB:
+        coefs_zz = jnp.pad(coefs_zz, ((0, 0), (0, 0), (0, nb_pad - NB)))
+        dc_code = jnp.pad(dc_code, ((0, 0), (0, nb_pad - NB)))
+        dc_bits = jnp.pad(dc_bits, ((0, 0), (0, nb_pad - NB)))
+    ntiles = nb_pad // TILE
+
+    zz = bs_ops.ZAGZIG[1:]
+    qcol = jnp.asarray(bs_ops.QUANT_PSX[zz].astype(np.int32))[:, None]
+    rcp = jnp.asarray(
+        (1.0 / bs_ops.QUANT_PSX[zz].astype(np.float64)).astype(
+            np.float32))[:, None]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, ntiles),
+        in_specs=[pl.BlockSpec((1, 63, TILE), lambda b, t, s: (b, 0, t),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, TILE), lambda b, t, s: (b, 0, t),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, TILE), lambda b, t, s: (b, 0, t),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((63, 1), lambda b, t, s: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((63, 1), lambda b, t, s: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((1, bpk.BCAP, TILE), lambda b, t, s: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE), lambda b, t, s: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    streams, bbits = pl.pallas_call(
+        _emit_pack_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, bpk.BCAP, nb_pad), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, nb_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(scale.astype(jnp.int32), coefs_zz,
+      dc_code.astype(jnp.int32)[:, None],
+      dc_bits.astype(jnp.int32)[:, None], qcol, rcp)
+    streams = jnp.transpose(streams, (0, 2, 1))[:, :NB]
+    return streams, bbits[:, 0, :NB]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

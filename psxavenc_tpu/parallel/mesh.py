@@ -44,7 +44,7 @@ def _replicated(mesh):
 
 
 def packed_video_step(mesh, *, codec, width, height, capacity_words,
-                      pallas_sweep=False, packer="flat"):
+                      pallas_sweep=False, packer=None):
     """The production sharded video encoder: pixels in, packed bitstream
     words out, batch axis split over the mesh via shard_map (each device
     runs the fused pipeline — incl. its Pallas kernels — on its local

@@ -39,23 +39,68 @@ def test_sweep_chunk_pallas_interpret(seed, nb, s0):
     assert np.array_equal(np.asarray(got_n), want_n)
 
 
-def test_nz_counts_pallas_interpret():
-    """Exact nonzero counts for all 63 scales == the quantizer's truth,
-    and the lower bound never exceeds the exact closed-form bit total."""
+def test_lb_probe_pallas_interpret():
+    """The probed lower bounds match a direct evaluation, never exceed
+    the exact closed-form bit totals, and are monotone in scale."""
     rng = np.random.default_rng(5)
     c = rng.integers(-3000, 3000, (2, 63, bsp.TILE + 37)).astype(np.int32)
-    nz, lb = bsp.nz_counts_pallas(jnp.asarray(c), interpret=True)
-    nz, lb = np.asarray(nz), np.asarray(lb)
+    lb = np.asarray(bsp.lb_probe_pallas(jnp.asarray(c), interpret=True))
     zz = bs_ops.ZAGZIG[1:]
-    q = jnp.asarray(bs_ops.QUANT_PSX[zz])
-    for s in range(1, 64):
-        ac = bs_ops._ac_quant(jnp.asarray(c), (q * s)[None, :, None])
+    qv = bs_ops.QUANT_PSX[zz]
+    a = np.abs(np.asarray(c))
+    prev = None
+    for i, sidx in enumerate(bsp.LB_PROBES):
+        sc = sidx + 1
+        d = (qv * sc)[None, :, None]
+        half = d >> 1
+        want = (3 * (a >= d - half) + 2 * (a >= 2 * d - half)
+                + (a >= 3 * d - half) + 2 * (a >= 4 * d - half)
+                + (a >= 5 * d - half)).sum(axis=(1, 2))
+        assert np.array_equal(lb[:, i], want), sidx
+        ac = bs_ops._ac_quant(jnp.asarray(c), jnp.asarray(d))
         nzm = ac != 0
-        want = np.asarray(nzm.sum(axis=(1, 2)))
-        assert np.array_equal(nz[:, s - 1], want), s
         run = bs_ops._runs(nzm, axis=1)
         bits = jnp.where(nzm,
                          bs_ops.ac_bits_closed_form(run, jnp.abs(ac)), 0)
         exact = np.asarray(bits.sum(axis=(1, 2)))
-        assert (lb[:, s - 1] <= exact).all(), s
-        assert (lb[:, s - 1] >= 3 * want).all(), s
+        assert (lb[:, i] <= exact).all(), sidx
+        if prev is not None:
+            assert (lb[:, i] <= prev).all(), sidx  # monotone
+        prev = lb[:, i]
+
+
+def test_emit_pack_pallas_interpret(monkeypatch):
+    """Fused emit+pack kernel == XLA emit + per-block packer, and the
+    full fused api path == the blocks path (interpret mode)."""
+    import functools
+
+    import jax
+
+    from psxavenc_tpu import api
+    from psxavenc_tpu.ops import bitpack
+
+    monkeypatch.setattr(bsp, "sweep_chunk_pallas", functools.partial(
+        bsp.sweep_chunk_pallas, interpret=True))
+    monkeypatch.setattr(bsp, "lb_probe_pallas", functools.partial(
+        bsp.lb_probe_pallas, interpret=True))
+    monkeypatch.setattr(bsp, "emit_pack_pallas", functools.partial(
+        bsp.emit_pack_pallas, interpret=True))
+
+    rng = np.random.default_rng(11)
+    B = 2
+    W = H = 32
+    frames = rng.integers(0, 256, (B, W * H * 3 // 2)).astype(np.uint8)
+    budgets = np.array([2200, 900], np.int32)
+    cap = (2200 - 8) // 2
+    for codec in (bs_ops.BS_V2, bs_ops.BS_V3):
+        blocks = api.bs_encode_frames_packed(
+            jnp.asarray(frames), jnp.asarray(budgets), codec=codec,
+            width=W, height=H, capacity_words=cap, pallas_sweep=True,
+            packer="blocks")
+        fused = api.bs_encode_frames_packed(
+            jnp.asarray(frames), jnp.asarray(budgets), codec=codec,
+            width=W, height=H, capacity_words=cap, pallas_sweep=True,
+            packer="fused")
+        for k in ("scale", "words", "total_bits", "nz_count"):
+            assert np.array_equal(np.asarray(blocks[k]),
+                                  np.asarray(fused[k])), (codec, k)

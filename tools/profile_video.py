@@ -156,8 +156,7 @@ def main():
               make_pack(True, True), iters)
     dt = timed("FULL blocks", make_full("blocks"), iters)
     if on_tpu:
-        dt = min(dt, timed("FULL blocks_pallas",
-                           make_full("blocks_pallas"), iters))
+        dt = min(dt, timed("FULL fused", make_full("fused"), iters))
         print(f"device-side video: {batch / dt:.1f} fps")
 
 
