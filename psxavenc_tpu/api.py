@@ -126,23 +126,24 @@ def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
     one XLA program. ``capacity_words`` must cover the largest budget:
     (max_frame_bytes - 8) // 2.
 
-    ``packer`` selects the bit-pack strategy: "fused" (Mosaic winner
-    emission + per-block pack in one kernel; TPU default), "blocks"
-    (XLA per-block dense windows; the default elsewhere), "blocks_pallas"
-    (per-block windows via the Mosaic kernels), or "flat" (per-symbol
-    scatter — the semantics reference, ~7x slower on v5e: XLA scatter
-    costs ~7 ns per scattered element and the block structure cuts
-    elements >20x). All bit-identical.
+    ``packer`` selects the bit-pack strategy (all bit-identical):
+    "fused_gather" (TPU default: Mosaic winner-emission + per-block pack
+    in one kernel, then the output-stationary gather placement kernel),
+    "fused" (same emission, placement via the u32-pair scatter),
+    "blocks" (XLA per-block dense windows + scatter; the default off
+    TPU), "blocks_pallas" (per-block Mosaic kernels), or "flat" (the
+    per-symbol-scatter semantics reference — ~10x slower on v5e, XLA
+    scatter costs ~7 ns per scattered element).
     """
     eof = 0x1FF if codec == bs_ops.BS_V2 else 0x3FF
 
     if pallas_sweep is None:
         pallas_sweep = _use_pallas_sweep()
     if packer is None:
-        packer = "fused" if pallas_sweep else "blocks"
+        packer = "fused_gather" if pallas_sweep else "blocks"
     coefs = _frames_to_coefs(frames, width, height)
 
-    if packer in ("fused", "fused_pallas"):
+    if packer in ("fused", "fused_pallas", "fused_gather"):
         # Fused Mosaic winner-emission + per-block packing: the
         # (B, NB, 65) code/bit tensors never exist. Falls back to the
         # emitting path for batches with a >256-bit block stream.
@@ -164,13 +165,16 @@ def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
         overflow = jnp.any(block_bits > 16 * bitpack_ops.BLOCK_CAP_WORDS)
 
         def fast(_):
-            if packer == "fused_pallas":
+            if packer in ("fused_pallas", "fused_gather"):
                 from .ops import bitpack_pallas
 
+                place = (bitpack_pallas.place_streams_gather_pallas
+                         if packer == "fused_gather"
+                         else bitpack_pallas.place_streams_pallas)
                 total = goff[:, -1] + block_bits[:, -1]
-                return bitpack_pallas.place_streams_pallas(
-                    streams, goff, total,
-                    capacity_words=capacity_words).astype(jnp.uint32)
+                return place(streams, goff, total,
+                             capacity_words=capacity_words).astype(
+                    jnp.uint32)
             return jax.vmap(lambda st, go: bitpack_ops._place_streams(
                 st.astype(jnp.uint32), go,
                 capacity_words=capacity_words))(streams, goff)

@@ -1,14 +1,18 @@
-"""Pallas TPU kernel for the ragged bitstream placement.
+"""Mosaic kernels for the block bit-packer (ops/bitpack.py).
 
-Phase 2 of the block bit-packer (ops/bitpack.py): per-block 16-bit-word
-streams, already densely packed in their private windows, are concatenated
-at arbitrary bit offsets into the frame bitstream. XLA expresses this as a
-scatter-add (~9 ns/element); here it is a sequential sweep per frame that
-keeps a 256-word window of the output in vector registers, rotates each
-block's shifted contribution into place (one dynamic lane rotate), and
-flushes the window to VMEM in aligned 128-word tiles. Per block: a couple
-of scalar reads, ~10 small vector ops, and amortized 1/16th of an aligned
-store — versus 17 scattered word writes.
+Three kernels, all bit-identical to their XLA counterparts (interpret
+tests + on-device cross-checks):
+
+- ``pack_block_streams_pallas`` — phase 1, per-block dense packing with
+  blocks on lanes (the XLA fori version fuses comparably in practice).
+- ``place_streams_pallas`` — phase 2 as a sequential sliding-window
+  sweep with dynamic lane rotates. Measured SLOWER than the u32-pair
+  placement scatter on v5e (the per-block scalar->vector serialization
+  dominates); kept as a reference implementation.
+- ``place_streams_gather_pallas`` — phase 2 output-stationary: each
+  128-u32 output tile reduces the contributions of the blocks
+  overlapping it (contiguous dynamic-row loads + compare/select/sum,
+  no scatter, no rotates).
 
 Bit order matches the reference packer (mdec.c:321-333): 16-bit groups
 filled MSB-first; the caller emits little-endian byte pairs.
@@ -164,6 +168,116 @@ def _kernel(goff_ref, streams_ref, out_ref, *, nrows):
         win[0, :128].astype(jnp.int32)
     out_ref[0, 0, pl.ds(pl.multiple_of(base + 128, 128), 128)] = \
         win[0, 128:].astype(jnp.int32)
+
+
+_GW = 64  # candidate blocks per gather window
+
+
+def _gather_kernel(j0_ref, nwin_ref, e0_ref, vals_ref, out_ref):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    j0 = j0_ref[b, t]
+    nw = nwin_ref[b, t]
+    tile_start = t * 128
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (_GW, 128), 1)
+
+    def win_body(w, acc):
+        j = j0 + w * _GW
+        e = e0_ref[0, pl.ds(j, _GW), 0].reshape(_GW, 1) - tile_start
+        vals = vals_ref[0, pl.ds(j, _GW), :]
+        for i in range(9):
+            match = (e + i) == lanes
+            # int32 sum: contributions are bit-disjoint, so two's-
+            # complement addition == bitwise OR (no carries), and Mosaic
+            # has no unsigned reductions.
+            acc = acc + jnp.sum(
+                jnp.where(match, vals[:, i:i + 1], 0),
+                axis=0, keepdims=True)
+        return acc
+
+    acc = jax.lax.fori_loop(0, nw, win_body,
+                            jnp.zeros((1, 128), jnp.int32))
+    out_ref[0, 0] = acc[0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("capacity_words", "interpret"))
+def place_streams_gather_pallas(streams, goff, total_bits, *,
+                                capacity_words, interpret=False):
+    """Output-stationary bitstream placement: each 128-u32 output tile
+    sums the (bit-disjoint) contributions of the blocks overlapping it.
+
+    The per-block u32 triples are precomputed densely in XLA (bit shift
+    to the global sub-word offset, even-word alignment, little-endian
+    u16-pair packing); the kernel then needs only contiguous dynamic-row
+    loads and compare/select/reduce — no scatter, no dynamic rotates.
+    Per frame the candidate windows are located with one searchsorted
+    over the monotone block offsets (prefetched scalars).
+
+    Args/semantics match :func:`place_streams_pallas`; bit-identical to
+    the XLA scatter placement.
+    """
+    B, NBe, bcap = streams.shape
+    assert bcap == BCAP
+    s = streams.astype(jnp.uint32)
+    sh = (goff & 15).astype(jnp.uint32)[..., None]
+    s_prev = jnp.concatenate([jnp.zeros_like(s[:, :, :1]), s[:, :, :-1]],
+                             axis=2)
+    c_main = ((s >> sh) | ((s_prev << (16 - sh)) & 0xFFFF))
+    c_tail = (s[:, :, -1:] << (16 - sh)) & 0xFFFF
+    contrib = jnp.concatenate([c_main, c_tail], axis=2)  # (B, NBe, 17)
+    w0 = goff >> 4
+    zcol = jnp.zeros((B, NBe, 1), jnp.uint32)
+    shifted = jnp.where((w0 & 1).astype(bool)[..., None],
+                        jnp.concatenate([zcol, contrib], axis=2),
+                        jnp.concatenate([contrib, zcol], axis=2))
+    pairs = shifted.reshape(B, NBe, 9, 2)
+    vals32 = pairs[..., 0] | (pairs[..., 1] << 16)        # (B, NBe, 9)
+    e0 = (goff >> 5).astype(jnp.int32)                    # (B, NBe)
+
+    cap32 = (capacity_words + 1) // 2
+    ntiles = -(-cap32 // 128)
+    # Candidate block windows per output tile from the monotone offsets.
+    bounds = jnp.arange(ntiles, dtype=jnp.int32) * 128
+    j0 = jax.vmap(lambda e: jnp.searchsorted(e, bounds - 8,
+                                             side="left"))(e0)
+    j1 = jax.vmap(lambda e: jnp.searchsorted(e, bounds + 128,
+                                             side="left"))(e0)
+    nwin = -(-(j1 - j0) // _GW)
+
+    # Pad rows so dynamic 64-row loads stay in bounds; sentinel offsets
+    # never match a tile.
+    pad = _GW * 8
+    vals32 = jnp.pad(vals32, ((0, 0), (0, pad), (0, 7)))
+    e0p = jnp.pad(e0, ((0, 0), (0, pad)),
+                  constant_values=jnp.int32(1 << 30))
+
+    out = pl.pallas_call(
+        _gather_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, ntiles),
+            in_specs=[
+                pl.BlockSpec((1, NBe + pad, 1),
+                             lambda b, t, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NBe + pad, 16),
+                             lambda b, t, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 128),
+                                   lambda b, t, *_: (b, 0, t),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 1, ntiles * 128), jnp.int32),
+        interpret=interpret,
+    )(j0.astype(jnp.int32), nwin.astype(jnp.int32),
+      e0p[..., None], vals32.astype(jnp.int32))
+
+    out32 = out[:, 0].astype(jnp.uint32)[:, :cap32]
+    words = jnp.stack([out32 & 0xFFFF, out32 >> 16], axis=-1).reshape(
+        B, -1)
+    return words[:, :capacity_words].astype(jnp.int32)
 
 
 @functools.partial(jax.jit,
