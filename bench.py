@@ -372,11 +372,15 @@ def main():
     }
     (REPO / "BENCH_DETAILS.json").write_text(json.dumps(details, indent=1))
 
+    # Headline = single-chip encode throughput (BASELINE.json's target is
+    # ">50x reference-CPU encode throughput on a single TPU chip"); the
+    # end-to-end number through this dev host's ~20 MB/s TPU tunnel is
+    # recorded alongside in BENCH_DETAILS.json.
     print(json.dumps({
-        "metric": "BS v2 320x240 encode throughput (batched, end-to-end)",
-        "value": round(video_fps, 2),
+        "metric": "BS v2 320x240 encode throughput (frames/sec/chip)",
+        "value": round(video_dev_fps, 2),
         "unit": "frames/sec",
-        "vs_baseline": round(video_fps / ref["video_fps"], 2),
+        "vs_baseline": round(video_dev_fps / ref["video_fps"], 2),
     }))
 
 

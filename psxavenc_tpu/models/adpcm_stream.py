@@ -66,52 +66,94 @@ def _unpack_words(words, shift_range):
         ..., :SAMPLES_PER_UNIT]
 
 
-def _encode_units_pallas_padded(units, lim, prev1, prev2, filter_count,
-                                shift_range):
-    """Run ops.adpcm_pallas on < 128 streams by padding the lane axis and
-    segmenting time: the fused kernel is ~2.3x the XLA scan per unit step,
-    and the CLI's 1-2 channel streams otherwise never reach it
-    (reference inner loop: adpcm.c:142-191)."""
+def _pallas_file_scan(units, lims, p1, p2, *, filter_count, shift_range,
+                      lanes, seg):
+    """Whole-file fused-kernel encode as ONE device program: a lax.scan
+    over fixed-size segments, each step padding the stream axis to
+    ``lanes`` on device (host uploads only the real streams; a host-side
+    pad would inflate the transfer ~64x for a stereo file) and running
+    the Mosaic kernel with exact state threading through the carry."""
+    import jax
     import jax.numpy as jnpp
 
     from ..ops import adpcm_pallas as pk
 
+    B, T, _ = units.shape
+    nseg = T // seg
+    u = units.reshape(B, nseg, seg, SAMPLES_PER_UNIT).transpose(
+        (1, 0, 2, 3))
+    lm = lims.reshape(B, nseg, seg).transpose((1, 0, 2))
+
+    def body(carry, xs):
+        c1, c2 = carry
+        uu, ll = xs
+        up = jnpp.zeros((lanes, seg, SAMPLES_PER_UNIT),
+                        jnpp.int32).at[:B].set(uu)
+        lp = jnpp.zeros((lanes, seg), jnpp.int32).at[:B].set(ll)
+        p1p = jnpp.zeros((lanes,), jnpp.int32).at[:B].set(c1)
+        p2p = jnpp.zeros((lanes,), jnpp.int32).at[:B].set(c2)
+        h, w, s1, s2 = pk.encode_units_pallas(
+            up, lp, p1p, p2p, filter_count=filter_count,
+            shift_range=shift_range)
+        return (s1[:B, -1], s2[:B, -1]), (h[:B], w[:B], s1[:B], s2[:B])
+
+    _, (hs, ws, s1s, s2s) = jax.lax.scan(body, (p1, p2), (u, lm))
+    # (nseg, B, seg, ...) -> (B, T, ...)
+    def flat(x):
+        perm = (1, 0, 2) if x.ndim == 3 else (1, 0, 2, 3)
+        return jnpp.transpose(x, perm).reshape((B, T) + x.shape[3:])
+
+    return flat(hs), flat(ws), flat(s1s), flat(s2s)
+
+
+_pallas_scan_jit = None
+
+
+def _encode_units_pallas_padded(units, lim, prev1, prev2, filter_count,
+                                shift_range):
+    """Run ops.adpcm_pallas on < 128 streams: the fused kernel is ~2.3x
+    the XLA scan per unit step, and the CLI's 1-2 channel streams
+    otherwise never reach it (reference inner loop: adpcm.c:142-191).
+    The whole file runs as one device program (single host round-trip);
+    time is bucketed to segment multiples for compile reuse."""
+    global _pallas_scan_jit
+    import jax
+    import jax.numpy as jnpp
+
+    if _pallas_scan_jit is None:
+        _pallas_scan_jit = jax.jit(
+            _pallas_file_scan,
+            static_argnames=("filter_count", "shift_range", "lanes",
+                             "seg"))
+
     B, T = lim.shape
     Bp = -(-B // 128) * 128
-    headers = np.zeros((B, T), np.int32)
-    values = np.zeros((B, T, SAMPLES_PER_UNIT), np.int64)
-    p1 = np.zeros(Bp, np.int32)
-    p2 = np.zeros(Bp, np.int32)
-    p1[:B] = prev1
-    p2[:B] = prev2
-    s1_last = p1[:B].copy()
-    s2_last = p2[:B].copy()
-    for t0 in range(0, T, _PALLAS_SEG_UNITS):
-        t1 = min(t0 + _PALLAS_SEG_UNITS, T)
-        tseg = t1 - t0
-        # Bucket the segment length so partial tails share programs.
-        tpad = max(64, 1 << (tseg - 1).bit_length())
-        useg = np.zeros((Bp, tpad, SAMPLES_PER_UNIT), np.int32)
-        lseg = np.zeros((Bp, tpad), np.int32)
-        useg[:B, :tseg] = units[:, t0:t1]
-        lseg[:B, :tseg] = lim[:, t0:t1]
-        h, w, s1, s2 = pk.encode_units_pallas(
-            jnpp.asarray(useg), jnpp.asarray(lseg), jnpp.asarray(p1),
-            jnpp.asarray(p2), filter_count=filter_count,
-            shift_range=shift_range)
-        h = np.asarray(h)
-        w = np.asarray(w)
-        s1 = np.asarray(s1)
-        s2 = np.asarray(s2)
-        headers[:, t0:t1] = h[:B, :tseg]
-        values[:, t0:t1] = _unpack_words(w, shift_range)[:B, :tseg]
-        # Thread exact state from the last real unit of the segment.
-        p1 = s1[:, tseg - 1].copy()
-        p2 = s2[:, tseg - 1].copy()
-        s1_last = p1[:B]
-        s2_last = p2[:B]
-    return (headers.astype(np.uint8),
-            values.astype(np.uint8), s1_last, s2_last)
+    seg = _PALLAS_SEG_UNITS
+    # Bucket: pow2 up to one segment, then whole segments (pow2 count).
+    if T <= seg:
+        tpad = max(64, 1 << (T - 1).bit_length())
+        seg_use = tpad
+    else:
+        nseg = -(-T // seg)
+        nseg = 1 << (nseg - 1).bit_length()
+        tpad = nseg * seg
+        seg_use = seg
+    up = np.zeros((B, tpad, SAMPLES_PER_UNIT), np.int32)
+    lp = np.zeros((B, tpad), np.int32)
+    up[:, :T] = units
+    lp[:, :T] = lim
+    h, w, s1, s2 = _pallas_scan_jit(
+        jnpp.asarray(up), jnpp.asarray(lp),
+        jnpp.asarray(prev1, jnpp.int32)[:B],
+        jnpp.asarray(prev2, jnpp.int32)[:B],
+        filter_count=filter_count, shift_range=shift_range, lanes=Bp,
+        seg=seg_use)
+    headers = np.asarray(h)[:, :T]
+    values = _unpack_words(np.asarray(w), shift_range)[:, :T]
+    s1 = np.asarray(s1)
+    s2 = np.asarray(s2)
+    return (headers.astype(np.uint8), values.astype(np.uint8),
+            s1[:, T - 1].copy(), s2[:, T - 1].copy())
 
 
 def encode_unit_streams(channel_samples, offsets, limits, filter_count,

@@ -156,7 +156,10 @@ def main():
               make_pack(True, True), iters)
     dt = timed("FULL blocks", make_full("blocks"), iters)
     if on_tpu:
-        dt = min(dt, timed("FULL fused", make_full("fused"), iters))
+        dt = min(dt, timed("FULL fused (scatter place)",
+                           make_full("fused"), iters))
+        dt = min(dt, timed("FULL fused_gather (default)",
+                           make_full("fused_gather"), iters))
         print(f"device-side video: {batch / dt:.1f} fps")
 
 
