@@ -135,3 +135,25 @@ def test_strcd_flagship_golden(tmp_path, oracle):
     mask = list(range(2328, 2352))
     assert _mask_sectors(ref, 2352, mask) == _mask_sectors(ours, 2352,
                                                            mask)
+
+
+def test_sbs_fat_block_fallback_golden(tmp_path, oracle):
+    """A huge budget + one busy macroblock yields >256-bit block streams,
+    driving the packer's exact overflow fallback (ops/bitpack.py and the
+    fused path's lax.cond) — output must still match the reference."""
+    import numpy as np
+
+    w = h = 64
+    rng = np.random.default_rng(3)
+    frames = []
+    for _ in range(3):
+        y = np.full((h, w), 128, np.uint8)
+        y[:16, :16] = (rng.integers(0, 2, (16, 16)) * 255).astype(np.uint8)
+        cb = np.full((h // 2) * (w // 2), 128, np.uint8)
+        cr = np.full((h // 2) * (w // 2), 128, np.uint8)
+        frames.append((y.reshape(-1), cb, cr))
+    ref, ours = _encode_both(
+        tmp_path, (w, h, frames, 15, {}),
+        ["-t", "sbs", "-v", "v2", "-s", f"{w}x{h}", "-a", 32768], "sbs")
+    assert len(ref) == len(ours)
+    assert ref == ours
