@@ -180,18 +180,22 @@ def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
                 capacity_words=capacity_words))(streams, goff)
 
         def slow(_):
-            out = bs_ops.encode_frames_symbols(
-                coefs, budgets, codec=codec, pallas_sweep=pallas_sweep)
-            eof_codes = jnp.zeros((B, 1, out["codes"].shape[2]),
+            # Emit symbols at the already-selected scale (no re-sweep)
+            # and pack through the always-exact flat path.
+            codes_s, bits_s = bs_ops.emit_symbols_at(
+                sel["c"], sel["scale_idx"], sel["dc_bits"],
+                sel["dc_code"])
+            eof_codes = jnp.zeros((B, 1, codes_s.shape[2]),
                                   jnp.uint32).at[:, 0, 0].set(eof)
-            eof_bits = jnp.zeros((B, 1, out["bits"].shape[2]),
+            eof_bits = jnp.zeros((B, 1, bits_s.shape[2]),
                                  jnp.int32).at[:, 0, 0].set(10)
             cs = jnp.concatenate(
-                [out["codes"].astype(jnp.uint32), eof_codes], axis=1)
+                [codes_s.astype(jnp.uint32), eof_codes], axis=1)
             bs_ = jnp.concatenate(
-                [out["bits"].astype(jnp.int32), eof_bits], axis=1)
-            w, _t = bitpack_ops.pack_frames_blocks(
-                cs, bs_, capacity_words=capacity_words)
+                [bits_s.astype(jnp.int32), eof_bits], axis=1)
+            w, _t = jax.vmap(lambda cc, bb: bitpack_ops.pack_bits(
+                cc.reshape(-1), bb.reshape(-1),
+                capacity_words=capacity_words))(cs, bs_)
             return w.astype(jnp.uint32)
 
         words = jax.lax.cond(overflow, slow, fast, 0)

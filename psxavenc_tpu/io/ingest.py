@@ -18,6 +18,7 @@ everything else.
 import json
 import math
 import os
+import re
 import shutil
 import subprocess
 import sys
@@ -228,6 +229,13 @@ def _validate_probe_streams(probe, flags):
             raise OpenError()
 
 
+def _strtoll(text):
+    """C strtoll(text, NULL, 10): leading whitespace + sign + digits,
+    stopping at the first non-digit; 0 when nothing parses."""
+    m = re.match(r"\s*([+-]?\d+)", text)
+    return int(m.group(1)) if m else 0
+
+
 def _probe_loop_tags(dec, probe):
     """loop_start metadata tag + first-chapter loop candidates
     (decoding.c:344-365)."""
@@ -236,13 +244,10 @@ def _probe_loop_tags(dec, probe):
     tags = probe.get("format", {}).get("tags", {}) or {}
     for key, value in tags.items():
         if key.lower() == "loop_start":
-            try:
-                # AV_TIME_BASE (microsecond) units, C strtoll semantics.
-                dec.loop_meta_ms = int(
-                    (int(str(value).strip() or 0, 10) * 1000)
-                    // AV_TIME_BASE)
-            except ValueError:
-                dec.loop_meta_ms = 0
+            # AV_TIME_BASE (microsecond) units, C strtoll semantics:
+            # parse the leading integer, 0 if none.
+            dec.loop_meta_ms = int(
+                (_strtoll(str(value)) * 1000) // AV_TIME_BASE)
             break
     chapters = probe.get("chapters", []) or []
     dec.n_chapters = len(chapters)
@@ -339,7 +344,7 @@ def _ffmpeg_video(args, path, src_w, src_h):
         vf += ":" + args.swscale_options.replace(",", ":")
     r = subprocess.run(
         [exe, "-v", "error", "-i", path, "-map", "0:v:0",
-         "-fps_mode", "passthrough", "-vf", vf, "-f", "rawvideo",
+         "-vsync", "passthrough", "-vf", vf, "-f", "rawvideo",
          "-pix_fmt", "nv21", "-"],
         capture_output=True)
     if r.returncode != 0:
@@ -600,12 +605,14 @@ def open_av_data(args, flags):
                     _warn_channels(
                         args, int(astreams[0].get("channels", 0)))
                     audio = _ffmpeg_audio(args, path)
-        if audio is not None and len(audio):
+        if audio is not None:
+            # has_audio keys off stream presence, like the reference
+            # (decoding.c / main: audio_stream != NULL), even when zero
+            # samples decode.
             dec.audio = np.ascontiguousarray(audio).reshape(-1)
             dec.has_audio = True
         elif flags & DECODER_AUDIO_REQUIRED:
-            if audio is None:
-                print("Input file has no audio data", file=sys.stderr)
+            print("Input file has no audio data", file=sys.stderr)
             raise OpenError()
 
     if flags & DECODER_USE_VIDEO:

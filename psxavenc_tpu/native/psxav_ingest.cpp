@@ -285,7 +285,7 @@ extern "C" int psxn_ingest_open(const Req *req, Res *res) {
             if (decode_frame(st.audio_ctx, st.frame, &packet)) {
                 int out_count =
                     swr_get_out_samples(st.resampler, st.frame->nb_samples);
-                if (out_count != 0) {
+                if (out_count > 0) {
                     size_t base = audio.size();
                     audio.resize(base +
                                  (size_t)out_count * sample_count_mul);

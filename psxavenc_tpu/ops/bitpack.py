@@ -108,35 +108,47 @@ def _place_streams(streams, goff, *, capacity_words):
     contributions, so add == or. Scatter elements per frame: NBe*(bcap+1),
     ~11x fewer than the per-symbol packer's 3 per symbol slot.
     """
-    NBe, bcap = streams.shape
-    s = streams.astype(jnp.uint32)
-    sh = (goff & 15).astype(jnp.uint32)[:, None]
-    s_prev = jnp.concatenate([jnp.zeros_like(s[:, :1]), s[:, :-1]], axis=1)
-    # Stream bits [16i-sh, 16(i+1)-sh) form contrib word i; sh == 0 makes
-    # the uint32 `<< 16` term vanish under the & 0xFFFF mask.
-    c_main = ((s >> sh) | ((s_prev << (16 - sh)) & 0xFFFF))
-    c_tail = (s[:, -1:] << (16 - sh)) & 0xFFFF
-    contrib = jnp.concatenate([c_main, c_tail], axis=1)  # (NBe, bcap+1)
-    # Scatter at uint32-pair granularity (halves the scattered element
-    # count; XLA TPU scatter costs ~7 ns/element): even-align each
-    # block's words by prepending a zero word when its word offset is
-    # odd, then pack little-endian u16 pairs.
-    w0 = goff >> 4
-    zcol = jnp.zeros((NBe, 1), jnp.uint32)
-    shifted = jnp.where((w0 & 1).astype(bool)[:, None],
-                        jnp.concatenate([zcol, contrib], axis=1),
-                        jnp.concatenate([contrib, zcol], axis=1))
-    pairs = shifted.reshape(NBe, (bcap + 2) // 2, 2)
-    vals32 = pairs[:, :, 0] | (pairs[:, :, 1] << 16)
+    vals32, e0 = streams_to_u32(streams, goff)
     cap32 = (capacity_words + 1) // 2
-    idx = (w0 >> 1)[:, None] + jnp.arange((bcap + 2) // 2,
-                                          dtype=jnp.int32)
+    idx = e0[:, None] + jnp.arange(vals32.shape[1], dtype=jnp.int32)
     idx = jnp.minimum(idx, cap32)  # clip tail overhang to drop slot
     out32 = jnp.zeros((cap32,), jnp.uint32)
     out32 = out32.at[idx.reshape(-1)].add(vals32.reshape(-1), mode="drop")
     words = jnp.stack([out32 & 0xFFFF, out32 >> 16],
                       axis=-1).reshape(-1)
     return words[:capacity_words]
+
+
+def streams_to_u32(streams, goff):
+    """Per-block placed u32 values: bit-shift each block's BCAP-word
+    stream to its global sub-word offset, even-align, and pack
+    little-endian u16 pairs.
+
+    This is THE definition of stream placement shared by the XLA u32
+    scatter and the Mosaic gather kernel (they must stay bitwise
+    identical). Works on (..., NBe, bcap) with any leading batch dims.
+
+    Returns (vals32 (..., NBe, bcap//2 + 1) uint32, e0 (..., NBe) int32
+    u32-granular offsets, monotone along the block axis).
+    """
+    bcap = streams.shape[-1]
+    s = streams.astype(jnp.uint32)
+    sh = (goff & 15).astype(jnp.uint32)[..., None]
+    s_prev = jnp.concatenate(
+        [jnp.zeros_like(s[..., :1]), s[..., :-1]], axis=-1)
+    # Stream bits [16i-sh, 16(i+1)-sh) form contrib word i; sh == 0 makes
+    # the uint32 `<< 16` term vanish under the & 0xFFFF mask.
+    c_main = ((s >> sh) | ((s_prev << (16 - sh)) & 0xFFFF))
+    c_tail = (s[..., -1:] << (16 - sh)) & 0xFFFF
+    contrib = jnp.concatenate([c_main, c_tail], axis=-1)
+    w0 = goff >> 4
+    zcol = jnp.zeros_like(contrib[..., :1])
+    shifted = jnp.where((w0 & 1).astype(bool)[..., None],
+                        jnp.concatenate([zcol, contrib], axis=-1),
+                        jnp.concatenate([contrib, zcol], axis=-1))
+    pairs = shifted.reshape(shifted.shape[:-1] + ((bcap + 2) // 2, 2))
+    vals32 = pairs[..., 0] | (pairs[..., 1] << 16)
+    return vals32, (goff >> 5).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("capacity_words", "bcap",

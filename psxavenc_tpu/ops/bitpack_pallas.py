@@ -103,6 +103,10 @@ def pack_block_streams_pallas(codes, bits, *, interpret=False):
 
 def _kernel(goff_ref, streams_ref, out_ref, *, nrows):
     out_ref[...] = jnp.zeros_like(out_ref)
+    # Memory-safety clamp: with an unfittable frame (scale-64 error case,
+    # caller raises later) offsets can exceed the capacity; flushes must
+    # stay inside the padded output.
+    wlim = out_ref.shape[2] - 256
 
     lanes128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
@@ -139,7 +143,8 @@ def _kernel(goff_ref, streams_ref, out_ref, *, nrows):
 
             @pl.when(flush)
             def _():
-                out_ref[0, 0, pl.ds(pl.multiple_of(base, 128), 128)] = \
+                out_ref[0, 0, pl.ds(pl.multiple_of(
+                    jnp.minimum(base, wlim), 128), 128)] = \
                     win[0, :128].astype(jnp.int32)
 
             win = jnp.where(flush,
@@ -164,6 +169,7 @@ def _kernel(goff_ref, streams_ref, out_ref, *, nrows):
     win, base = jax.lax.fori_loop(
         0, nrows, row_body,
         (jnp.zeros((1, 256), jnp.uint32), jnp.int32(0)))
+    base = jnp.minimum(base, wlim)
     out_ref[0, 0, pl.ds(pl.multiple_of(base, 128), 128)] = \
         win[0, :128].astype(jnp.int32)
     out_ref[0, 0, pl.ds(pl.multiple_of(base + 128, 128), 128)] = \
@@ -217,23 +223,12 @@ def place_streams_gather_pallas(streams, goff, total_bits, *,
     Args/semantics match :func:`place_streams_pallas`; bit-identical to
     the XLA scatter placement.
     """
+    from . import bitpack as bp
+
     B, NBe, bcap = streams.shape
     assert bcap == BCAP
-    s = streams.astype(jnp.uint32)
-    sh = (goff & 15).astype(jnp.uint32)[..., None]
-    s_prev = jnp.concatenate([jnp.zeros_like(s[:, :, :1]), s[:, :, :-1]],
-                             axis=2)
-    c_main = ((s >> sh) | ((s_prev << (16 - sh)) & 0xFFFF))
-    c_tail = (s[:, :, -1:] << (16 - sh)) & 0xFFFF
-    contrib = jnp.concatenate([c_main, c_tail], axis=2)  # (B, NBe, 17)
-    w0 = goff >> 4
-    zcol = jnp.zeros((B, NBe, 1), jnp.uint32)
-    shifted = jnp.where((w0 & 1).astype(bool)[..., None],
-                        jnp.concatenate([zcol, contrib], axis=2),
-                        jnp.concatenate([contrib, zcol], axis=2))
-    pairs = shifted.reshape(B, NBe, 9, 2)
-    vals32 = pairs[..., 0] | (pairs[..., 1] << 16)        # (B, NBe, 9)
-    e0 = (goff >> 5).astype(jnp.int32)                    # (B, NBe)
+    # The same placed-u32 definition as the XLA scatter path.
+    vals32, e0 = bp.streams_to_u32(streams, goff)         # (B, NBe, 9)
 
     cap32 = (capacity_words + 1) // 2
     ntiles = -(-cap32 // 128)

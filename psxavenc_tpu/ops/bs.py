@@ -376,27 +376,62 @@ def _runs(nz, axis):
     return posb - prev_excl - 1
 
 
-def _select_only(c, bits_ps, nz_ps, dc_bits, dc_code, dc_total,
-                 frame_max_sizes, nb):
-    """Scale selection without symbol emission (for the fused
-    emit+pack kernel path): returns the winner and its exact totals."""
+def _select(bits_ps, nz_ps, dc_total, frame_max_sizes, nb):
+    """First-fit scale selection — THE budget rule (a frame fits iff
+    8 + 2*ceil(total_bits/16) <= budget, mdec.c:321-333); the single
+    implementation shared by the emitting and fused paths."""
     per_scale_bits = bits_ps + dc_total[:, None] + 2 * nb + 10
     total_bytes = 8 + 2 * ((per_scale_bits + 15) >> 4)
     fits = total_bytes <= frame_max_sizes[:, None]
-    scale_idx = jnp.argmax(fits, axis=1)
+    scale_idx = jnp.argmax(fits, axis=1).astype(jnp.int32)
     scale = jnp.where(jnp.any(fits, axis=1), scale_idx + 1, 64).astype(
         jnp.int32)
     take = lambda x: jnp.take_along_axis(x, scale_idx[:, None],
                                          axis=1)[:, 0]
+    return scale, scale_idx, take(nz_ps), take(per_scale_bits)
+
+
+def _select_only(c, bits_ps, nz_ps, dc_bits, dc_code, dc_total,
+                 frame_max_sizes, nb):
+    """Scale selection without symbol emission (for the fused
+    emit+pack kernel path): returns the winner and its exact totals."""
+    scale, scale_idx, nz_at, total_at = _select(
+        bits_ps, nz_ps, dc_total, frame_max_sizes, nb)
     return {
         "scale": scale,
-        "scale_idx": scale_idx.astype(jnp.int32),
-        "nz_count": take(nz_ps),
-        "total_bits": take(per_scale_bits),
+        "scale_idx": scale_idx,
+        "nz_count": nz_at,
+        "total_bits": total_at,
         "c": c,
         "dc_bits": dc_bits,
         "dc_code": dc_code,
     }
+
+
+def emit_symbols_at(c, scale_idx, dc_bits, dc_code):
+    """Symbol-stream emission at a known per-frame scale index: returns
+    (codes, bits) shaped (B, NB, 65) — DC, 63 ACs in scan order, EOB.
+    Used by the fused path's overflow fallback so the sweep never runs
+    twice."""
+    B, _, nb = c.shape
+    q = jnp.asarray(QUANT_PSX)[jnp.asarray(ZAGZIG[1:])]
+    qs_w = q[None, :] * (scale_idx + 1)[:, None]        # (B, 63)
+    ac_w = _ac_quant(c, qs_w[:, :, None])               # (B, 63, NB)
+    nz_w = ac_w != 0
+    run_w = _runs(nz_w, axis=1)
+    bits_nz = ac_bits_closed_form(run_w, jnp.abs(ac_w))
+    bits_w = jnp.where(nz_w, bits_nz, 0).transpose(0, 2, 1)
+    code_w = jnp.where(nz_w, ac_code_closed_form(run_w, ac_w, bits_nz),
+                       0).transpose(0, 2, 1)
+
+    eob_bits = jnp.full((B, nb, 1), 2, jnp.int32)
+    eob_code = jnp.full((B, nb, 1), 0x2, jnp.uint32)
+    bits = jnp.concatenate([dc_bits[..., None], bits_w, eob_bits],
+                           axis=2)
+    codes = jnp.concatenate([dc_code[..., None].astype(jnp.uint32),
+                             code_w.astype(jnp.uint32), eob_code],
+                            axis=2)
+    return codes, bits
 
 
 @partial(jax.jit, static_argnames=("codec", "pallas_sweep", "emit"))
@@ -504,9 +539,9 @@ def encode_frames_symbols(coefs, frame_max_sizes, *, codec,
             return _select_only(c, bits_ps[:, :63], nz_ps[:, :63],
                                 dc_bits, dc_code, dc_total,
                                 frame_max_sizes, nb)
-        return _select_and_emit(c, q, bits_ps[:, :63], nz_ps[:, :63],
+        return _select_and_emit(c, bits_ps[:, :63], nz_ps[:, :63],
                                 dc_bits, dc_code, dc_total,
-                                frame_max_sizes, B, nb)
+                                frame_max_sizes, nb)
 
     # Chunked early-exit sweep: scales are costed 8 at a time in order and
     # the loop stops once every frame has found a fitting scale — the
@@ -555,48 +590,23 @@ def encode_frames_symbols(coefs, frame_max_sizes, *, codec,
     if not emit:
         return _select_only(c, bits_ps, nz_ps, dc_bits, dc_code,
                             dc_total, frame_max_sizes, nb)
-    return _select_and_emit(c, q, bits_ps, nz_ps, dc_bits, dc_code,
-                             dc_total, frame_max_sizes, B, nb)
+    return _select_and_emit(c, bits_ps, nz_ps, dc_bits, dc_code,
+                            dc_total, frame_max_sizes, nb)
 
 
-def _select_and_emit(c, q, bits_ps, nz_ps, dc_bits, dc_code, dc_total,
-                     frame_max_sizes, B, nb):
-    per_scale_bits = bits_ps + dc_total[:, None] + 2 * nb + 10
-    total_bytes = 8 + 2 * ((per_scale_bits + 15) >> 4)
-    fits = total_bytes <= frame_max_sizes[:, None]
-    scale_idx = jnp.argmax(fits, axis=1)   # first fitting scale per frame
-    scale = jnp.where(jnp.any(fits, axis=1), scale_idx + 1, 64).astype(
-        jnp.int32)
-
-    # --- emit symbols for the chosen scale; both bit lengths and code
+def _select_and_emit(c, bits_ps, nz_ps, dc_bits, dc_code, dc_total,
+                     frame_max_sizes, nb):
+    scale, scale_idx, nz_at, total_at = _select(
+        bits_ps, nz_ps, dc_total, frame_max_sizes, nb)
+    # Emit symbols for the chosen scale; both bit lengths and code
     # values are closed-form arithmetic (no 64K-LUT gather anywhere).
-    qs_w = q[None, :] * (scale_idx + 1)[:, None]        # (B, 63)
-    ac_w = _ac_quant(c, qs_w[:, :, None])               # (B, 63, NB)
-    nz_w = ac_w != 0
-    run_w = _runs(nz_w, axis=1)
-    bits_nz = ac_bits_closed_form(run_w, jnp.abs(ac_w))
-    bits_w = jnp.where(nz_w, bits_nz, 0)
-    code_w = jnp.where(nz_w, ac_code_closed_form(run_w, ac_w, bits_nz), 0)
-    # Back to (B, NB, 63) for symbol-stream assembly.
-    ac_w = ac_w.transpose(0, 2, 1)
-    nz_w = nz_w.transpose(0, 2, 1)
-    bits_w = bits_w.transpose(0, 2, 1)
-    code_w = code_w.transpose(0, 2, 1)
-
-    eob_bits = jnp.full((B, nb, 1), 2, jnp.int32)
-    eob_code = jnp.full((B, nb, 1), 0x2, jnp.uint32)
-    bits = jnp.concatenate([dc_bits[..., None], bits_w, eob_bits], axis=2)
-    codes = jnp.concatenate([dc_code[..., None].astype(jnp.uint32),
-                             code_w.astype(jnp.uint32), eob_code], axis=2)
-
+    codes, bits = emit_symbols_at(c, scale_idx, dc_bits, dc_code)
     return {
         "scale": scale,
         "codes": codes,
         "bits": bits,
-        "nz_count": nz_w.sum(axis=(1, 2)).astype(jnp.int32),
-        "total_bits": jnp.take_along_axis(per_scale_bits,
-                                          scale_idx[:, None],
-                                          axis=1)[:, 0],
+        "nz_count": nz_at,
+        "total_bits": total_at,
     }
 
 
