@@ -68,8 +68,13 @@ class BsFrameEncoder:
         cap_bytes = int(max(frame_max_sizes))
         cap_words = max(1, (cap_bytes - 8 + 1) // 2)
         n_dev = len(self._devices)
+        # Long files use a larger device batch (fixed per-call costs —
+        # scale probe/select, launch — amortize; device rate at batch 32+
+        # is near its peak), short ones avoid padding waste. Two bucket
+        # sizes keep the compile count at two programs per geometry.
+        chunk = 32 if n >= 32 else self.CHUNK
         # Chunk granularity must divide over the mesh.
-        gran = -(-self.CHUNK // n_dev) * n_dev if n_dev > 1 else self.CHUNK
+        gran = -(-chunk // n_dev) * n_dev if n_dev > 1 else chunk
         for base in range(0, n, gran):
             chunk = list(range(base, min(base + gran, n)))
             pad = gran - len(chunk)

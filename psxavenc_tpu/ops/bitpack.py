@@ -1,11 +1,19 @@
 """Device-side BS bitstream packing.
 
 The reference packs Huffman codes on the CPU one symbol at a time
-(mdec.c:321-385). TPU-native: with per-symbol bit lengths known, the bit
-offset of every symbol is an exclusive cumsum, and each (code, offset)
-lands in at most three 16-bit words — a scatter-add (no overlaps: distinct
-symbols touch disjoint bit ranges, so add == or). The whole frame packs in
-one fused pass and only the final bytes leave the device.
+(mdec.c:321-385). TPU-native, two levels:
+
+- ``pack_bits`` — the flat per-symbol scatter (each code spans at most
+  three 16-bit words at its cumsum offset; disjoint bit ranges make
+  add == or). Simple and always exact, but XLA scatter costs ~7 ns per
+  scattered element, so it serves as the semantics reference and the
+  universal fallback.
+- ``pack_frames_blocks`` — the production path: symbols pack densely
+  inside private 16-word per-block windows (pure vector ops, no
+  scatter), then whole u32 word-pairs place at their final position
+  (``_place_streams`` scatter here, or the Mosaic kernels in
+  ops/bitpack_pallas.py). Falls back to ``pack_bits`` when any block
+  stream exceeds its window.
 
 Bit order matches the reference exactly: 16-bit groups filled MSB-first,
 stored as little-endian byte pairs starting after the 8-byte frame header.
