@@ -518,9 +518,15 @@ def encode_frames_symbols(coefs, frame_max_sizes, *, codec,
                                & computed[None, :], axis=1)
             return (s_cur < 63) & ~jnp.all(fits_any)
 
+        # Per-frame AC-bit fit threshold: fits iff ac_bits <= thr_ac
+        # (equivalent inverse of the byte-budget rule in _select). Lets
+        # the kernel abandon provably-unfit scales mid-accumulation.
+        thr_ac = (((frame_max_sizes - 8) // 2) * 16
+                  - (dc_total + 2 * nb + 10))
+
         def pbody(state):
             s_cur, bits_ps, nz_ps = state
-            bc, nc = bs_pallas.sweep_chunk_pallas(c, s_cur)
+            bc, nc = bs_pallas.sweep_chunk_pallas(c, s_cur, thr_ac)
             bits_ps = jax.lax.dynamic_update_slice(bits_ps, bc,
                                                    (0, s_cur))
             nz_ps = jax.lax.dynamic_update_slice(nz_ps, nc, (0, s_cur))

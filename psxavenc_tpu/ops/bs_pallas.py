@@ -46,9 +46,10 @@ def _cummax_cols(x):
     return x
 
 
-def _kernel(s0_ref, c_ref, qcol_ref, rcp_ref, out_bits_ref, out_nz_ref,
-            acc_bits, acc_nz):
-    # s0_ref is the scalar-prefetch arg; grid dims shift by one.
+def _kernel(s0_ref, thr_ref, c_ref, qcol_ref, rcp_ref, out_bits_ref,
+            out_nz_ref, acc_bits, acc_nz):
+    # s0_ref/thr_ref are the scalar-prefetch args.
+    b = pl.program_id(0)
     nt = pl.program_id(1)
     ntiles = pl.num_programs(1)
 
@@ -65,27 +66,40 @@ def _kernel(s0_ref, c_ref, qcol_ref, rcp_ref, out_bits_ref, out_nz_ref,
     pos = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0) + 1
 
     s0 = s0_ref[0]
+    thr = thr_ref[b]
 
     def scale_body(i, _):
-        s = s0 + i + 1
-        d = q_col * s
-        # Exact round-half-away via f32 reciprocal + integer correction
-        # (same construction as bs._div_rounded_fast).
-        t = ac_abs_max + (d >> 1)
-        rcp = rcp_base * (1.0 / s.astype(jnp.float32))
-        q0 = (t.astype(jnp.float32) * rcp).astype(jnp.int32)
-        r = t - q0 * d
-        mag = q0 + (r >= d).astype(jnp.int32) - (r < 0).astype(jnp.int32)
-        # Clamp: values land in [-512, 510]; only |mag| matters for bits
-        # (anything > 40 is the 22-bit escape either way).
-        nz = mag != 0
-        nzpos = jnp.where(nz, pos, 0)
-        prev = _cummax_cols(nzpos)
-        prev_excl = jnp.where(pos > 1, pltpu.roll(prev, 1, 0), 0)
-        run = pos - prev_excl - 1
-        bits = jnp.where(nz, bs_ops.ac_bits_closed_form(run, mag), 0)
-        acc_bits[i, :] = acc_bits[i, :] + jnp.sum(bits, axis=0)
-        acc_nz[i, :] = acc_nz[i, :] + jnp.sum(nz.astype(jnp.int32), axis=0)
+        # Early abandon: once this scale's partial AC-bit total already
+        # exceeds the frame's fit threshold, further tiles cannot change
+        # the (un)fit verdict — the returned partial stays > thr, which
+        # is all the selection consumes for losing scales. The winning
+        # scale never trips this (its full total is <= thr), so its sum
+        # stays exact.
+        partial = jnp.sum(acc_bits[i, :])
+
+        @pl.when(partial <= thr)
+        def _():
+            s = s0 + i + 1
+            d = q_col * s
+            # Exact round-half-away via f32 reciprocal + integer
+            # correction (same construction as bs._div_rounded_fast).
+            t = ac_abs_max + (d >> 1)
+            rcp = rcp_base * (1.0 / s.astype(jnp.float32))
+            q0 = (t.astype(jnp.float32) * rcp).astype(jnp.int32)
+            r = t - q0 * d
+            mag = q0 + (r >= d).astype(jnp.int32) - \
+                (r < 0).astype(jnp.int32)
+            # Clamp: values land in [-512, 510]; only |mag| matters for
+            # bits (anything > 40 is the 22-bit escape either way).
+            nz = mag != 0
+            nzpos = jnp.where(nz, pos, 0)
+            prev = _cummax_cols(nzpos)
+            prev_excl = jnp.where(pos > 1, pltpu.roll(prev, 1, 0), 0)
+            run = pos - prev_excl - 1
+            bits = jnp.where(nz, bs_ops.ac_bits_closed_form(run, mag), 0)
+            acc_bits[i, :] = acc_bits[i, :] + jnp.sum(bits, axis=0)
+            acc_nz[i, :] = acc_nz[i, :] + jnp.sum(nz.astype(jnp.int32),
+                                                  axis=0)
         return 0
 
     jax.lax.fori_loop(0, CHUNK, scale_body, 0)
@@ -331,18 +345,25 @@ def emit_pack_pallas(coefs_zz, scale, dc_code, dc_bits, *,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def sweep_chunk_pallas(coefs_zz, s0, *, interpret=False):
-    """Exact AC bit/nonzero totals for scales [s0+1, s0+CHUNK].
+def sweep_chunk_pallas(coefs_zz, s0, thr=None, *, interpret=False):
+    """AC bit/nonzero totals for scales [s0+1, s0+CHUNK].
 
     Args:
       coefs_zz: (B, 63, NB) int32 — zigzag-ordered AC coefficients in the
         (positions, blocks) layout of ops.bs.encode_frames_symbols.
       s0: int32 scalar scale offset (scales beyond 63 produce garbage
         rows the caller must mask).
+      thr: optional (B,) int32 per-frame AC-bit fit thresholds. Scales
+        whose partial sum already exceeds thr stop accumulating (the
+        returned value is a partial > thr — still correctly unfit);
+        scales with totals <= thr (incl. the selected one) are exact.
+        None = exact totals for every scale.
     Returns:
       bits (B, CHUNK) int32, nz (B, CHUNK) int32.
     """
     B, P, NB = coefs_zz.shape
+    if thr is None:
+        thr = jnp.full((B,), jnp.int32(1 << 30))
     assert P == 63
     nb_pad = -(-NB // TILE) * TILE
     if nb_pad != NB:
@@ -357,18 +378,19 @@ def sweep_chunk_pallas(coefs_zz, s0, *, interpret=False):
             np.float32))[:, None]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B, ntiles),
-        in_specs=[pl.BlockSpec((1, 63, TILE), lambda b, t, s_ref: (b, 0, t),
+        in_specs=[pl.BlockSpec((1, 63, TILE),
+                               lambda b, t, *_: (b, 0, t),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((63, 1), lambda b, t, s_ref: (0, 0),
+                  pl.BlockSpec((63, 1), lambda b, t, *_: (0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((63, 1), lambda b, t, s_ref: (0, 0),
+                  pl.BlockSpec((63, 1), lambda b, t, *_: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[
-            pl.BlockSpec((1, CHUNK, TILE), lambda b, t, s_ref: (b, 0, 0),
+            pl.BlockSpec((1, CHUNK, TILE), lambda b, t, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CHUNK, TILE), lambda b, t, s_ref: (b, 0, 0),
+            pl.BlockSpec((1, CHUNK, TILE), lambda b, t, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((CHUNK, TILE), jnp.int32),
@@ -382,5 +404,6 @@ def sweep_chunk_pallas(coefs_zz, s0, *, interpret=False):
             jax.ShapeDtypeStruct((B, CHUNK, TILE), jnp.int32),
         ],
         interpret=interpret,
-    )(jnp.asarray(s0, jnp.int32)[None], coefs_zz, qcol, rcp)
+    )(jnp.asarray(s0, jnp.int32)[None], jnp.asarray(thr, jnp.int32),
+      coefs_zz, qcol, rcp)
     return bits.sum(axis=2), nz.sum(axis=2)

@@ -104,3 +104,28 @@ def test_emit_pack_pallas_interpret(monkeypatch):
         for k in ("scale", "words", "total_bits", "nz_count"):
             assert np.array_equal(np.asarray(blocks[k]),
                                   np.asarray(fused[k])), (codec, k)
+
+
+def test_sweep_chunk_thresholded_interpret():
+    """With per-frame thresholds, fitting scales keep exact totals and
+    abandoned scales still report > thr (the unfit verdict is
+    preserved)."""
+    rng = np.random.default_rng(9)
+    # Two tiles so abandonment (a tile-granular decision) actually
+    # triggers: scales whose first-tile partial exceeds thr skip tile 2.
+    c = rng.integers(-3000, 3000, (2, 63, 2 * bsp.TILE)).astype(np.int32)
+    exact_b, exact_n = bsp.sweep_chunk_pallas(jnp.asarray(c), jnp.int32(0),
+                                              interpret=True)
+    exact_b = np.asarray(exact_b)
+    # Pick thresholds mid-range so some scales are abandoned per frame.
+    thr = np.array([int(exact_b[0, bsp.CHUNK // 2]),
+                    int(exact_b[1, 1])], np.int32)
+    got_b, got_n = bsp.sweep_chunk_pallas(jnp.asarray(c), jnp.int32(0),
+                                          jnp.asarray(thr), interpret=True)
+    got_b = np.asarray(got_b)
+    for f in range(2):
+        for i in range(bsp.CHUNK):
+            if exact_b[f, i] <= thr[f]:
+                assert got_b[f, i] == exact_b[f, i], (f, i)
+            else:
+                assert got_b[f, i] > thr[f], (f, i)
