@@ -47,67 +47,87 @@ def _cummax_cols(x):
 
 
 def _kernel(s0_ref, thr_ref, c_ref, qcol_ref, rcp_ref, out_bits_ref,
-            out_nz_ref, acc_bits, acc_nz):
-    # s0_ref/thr_ref are the scalar-prefetch args.
+            out_nz_ref, acc_bits, acc_nz, fit_state):
+    # s0_ref/thr_ref are the scalar-prefetch args. Grid: (B, CHUNK,
+    # ntiles), scales OUTER of tiles so a scale's verdict is known
+    # before later scales start.
     b = pl.program_id(0)
-    nt = pl.program_id(1)
-    ntiles = pl.num_programs(1)
+    i = pl.program_id(1)
+    nt = pl.program_id(2)
+    ntiles = pl.num_programs(2)
+
+    @pl.when((i == 0) & (nt == 0))
+    def _():
+        # fit_state = [found_flag, scale_that_fit]
+        fit_state[0] = 0
+        fit_state[1] = 0
 
     @pl.when(nt == 0)
     def _():
         acc_bits[...] = jnp.zeros_like(acc_bits)
         acc_nz[...] = jnp.zeros_like(acc_nz)
 
-    c = c_ref[0]                                   # (63, TILE)
-    ac_abs_max = jnp.abs(c)
-    q_col = qcol_ref[...]                          # (63, 1) int32
-    rcp_base = rcp_ref[...]                        # (63, 1) f32
-
-    pos = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0) + 1
-
     s0 = s0_ref[0]
     thr = thr_ref[b]
 
-    def scale_body(i, _):
-        # Early abandon: once this scale's partial AC-bit total already
-        # exceeds the frame's fit threshold, further tiles cannot change
-        # the (un)fit verdict — the returned partial stays > thr, which
-        # is all the selection consumes for losing scales. The winning
-        # scale never trips this (its full total is <= thr), so its sum
-        # stays exact.
-        partial = jnp.sum(acc_bits[i, :])
+    # Two exact-safe skips (selection provably unchanged):
+    # - once ANY lower scale in this chunk fits, later scales are
+    #   irrelevant (first-fit selection) — skipped entirely;
+    # - once this scale's partial total exceeds the fit threshold, its
+    #   unfit verdict is final — remaining tiles are skipped and the
+    #   partial (> thr) is returned.
+    partial = jnp.sum(acc_bits[0, :])
+    live = (fit_state[0] == 0) & (partial <= thr)
 
-        @pl.when(partial <= thr)
-        def _():
-            s = s0 + i + 1
-            d = q_col * s
-            # Exact round-half-away via f32 reciprocal + integer
-            # correction (same construction as bs._div_rounded_fast).
-            t = ac_abs_max + (d >> 1)
-            rcp = rcp_base * (1.0 / s.astype(jnp.float32))
-            q0 = (t.astype(jnp.float32) * rcp).astype(jnp.int32)
-            r = t - q0 * d
-            mag = q0 + (r >= d).astype(jnp.int32) - \
-                (r < 0).astype(jnp.int32)
-            # Clamp: values land in [-512, 510]; only |mag| matters for
-            # bits (anything > 40 is the 22-bit escape either way).
-            nz = mag != 0
-            nzpos = jnp.where(nz, pos, 0)
-            prev = _cummax_cols(nzpos)
-            prev_excl = jnp.where(pos > 1, pltpu.roll(prev, 1, 0), 0)
-            run = pos - prev_excl - 1
-            bits = jnp.where(nz, bs_ops.ac_bits_closed_form(run, mag), 0)
-            acc_bits[i, :] = acc_bits[i, :] + jnp.sum(bits, axis=0)
-            acc_nz[i, :] = acc_nz[i, :] + jnp.sum(nz.astype(jnp.int32),
-                                                  axis=0)
-        return 0
-
-    jax.lax.fori_loop(0, CHUNK, scale_body, 0)
+    @pl.when(live)
+    def _():
+        c = c_ref[0]                               # (63, TILE)
+        ac_abs_max = jnp.abs(c)
+        q_col = qcol_ref[...]                      # (63, 1) int32
+        rcp_base = rcp_ref[...]                    # (63, 1) f32
+        pos = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0) + 1
+        s = s0 + i + 1
+        d = q_col * s
+        # Exact round-half-away via f32 reciprocal + integer correction
+        # (same construction as bs._div_rounded_fast).
+        t = ac_abs_max + (d >> 1)
+        rcp = rcp_base * (1.0 / s.astype(jnp.float32))
+        q0 = (t.astype(jnp.float32) * rcp).astype(jnp.int32)
+        r = t - q0 * d
+        mag = q0 + (r >= d).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+        # Clamp: values land in [-512, 510]; only |mag| matters for bits
+        # (anything > 40 is the 22-bit escape either way).
+        nz = mag != 0
+        nzpos = jnp.where(nz, pos, 0)
+        prev = _cummax_cols(nzpos)
+        prev_excl = jnp.where(pos > 1, pltpu.roll(prev, 1, 0), 0)
+        run = pos - prev_excl - 1
+        bits = jnp.where(nz, bs_ops.ac_bits_closed_form(run, mag), 0)
+        acc_bits[0, :] = acc_bits[0, :] + jnp.sum(bits, axis=0,
+                                                  keepdims=True)[0]
+        acc_nz[0, :] = acc_nz[0, :] + jnp.sum(nz.astype(jnp.int32),
+                                              axis=0, keepdims=True)[0]
 
     @pl.when(nt == ntiles - 1)
     def _():
-        out_bits_ref[0] = acc_bits[...]
-        out_nz_ref[0] = acc_nz[...]
+        total = jnp.sum(acc_bits[0, :])
+
+        # Only a real threshold arms the skip (thr >= 2^29 means the
+        # caller wants exact totals for every scale, e.g. tests).
+        @pl.when((fit_state[0] == 0) & (total <= thr)
+                 & (thr < (1 << 29)))
+        def _():
+            fit_state[0] = 1
+            fit_state[1] = i
+
+        skipped = (fit_state[0] == 1) & (i > fit_state[1])
+        lane0 = (jax.lax.broadcasted_iota(jnp.int32,
+                                          acc_bits.shape, 1) == 0)
+        sentinel = jnp.where(lane0, jnp.int32(1 << 29), 0)
+        out_bits_ref[0, 0, 0] = jnp.where(skipped, sentinel,
+                                          acc_bits[0, :][None])[0]
+        out_nz_ref[0, 0, 0] = jnp.where(skipped, 0,
+                                        acc_nz[0, :][None])[0]
 
 
 # Probed scales for the sweep's lower-bound positioning (0-based scale
@@ -379,31 +399,36 @@ def sweep_chunk_pallas(coefs_zz, s0, thr=None, *, interpret=False):
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, ntiles),
+        grid=(B, CHUNK, ntiles),
         in_specs=[pl.BlockSpec((1, 63, TILE),
-                               lambda b, t, *_: (b, 0, t),
+                               lambda b, i, t, *_: (b, 0, t),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((63, 1), lambda b, t, *_: (0, 0),
+                  pl.BlockSpec((63, 1), lambda b, i, t, *_: (0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((63, 1), lambda b, t, *_: (0, 0),
+                  pl.BlockSpec((63, 1), lambda b, i, t, *_: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[
-            pl.BlockSpec((1, CHUNK, TILE), lambda b, t, *_: (b, 0, 0),
+            pl.BlockSpec((1, 1, 1, TILE),
+                         lambda b, i, t, *_: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CHUNK, TILE), lambda b, t, *_: (b, 0, 0),
+            pl.BlockSpec((1, 1, 1, TILE),
+                         lambda b, i, t, *_: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((CHUNK, TILE), jnp.int32),
-                        pltpu.VMEM((CHUNK, TILE), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((1, TILE), jnp.int32),
+                        pltpu.VMEM((1, TILE), jnp.int32),
+                        pltpu.SMEM((2,), jnp.int32)],
     )
     bits, nz = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, CHUNK, TILE), jnp.int32),
-            jax.ShapeDtypeStruct((B, CHUNK, TILE), jnp.int32),
+            jax.ShapeDtypeStruct((B, CHUNK, 1, TILE), jnp.int32),
+            jax.ShapeDtypeStruct((B, CHUNK, 1, TILE), jnp.int32),
         ],
         interpret=interpret,
     )(jnp.asarray(s0, jnp.int32)[None], jnp.asarray(thr, jnp.int32),
       coefs_zz, qcol, rcp)
+    bits = bits[:, :, 0]
+    nz = nz[:, :, 0]
     return bits.sum(axis=2), nz.sum(axis=2)

@@ -107,9 +107,10 @@ def test_emit_pack_pallas_interpret(monkeypatch):
 
 
 def test_sweep_chunk_thresholded_interpret():
-    """With per-frame thresholds, fitting scales keep exact totals and
-    abandoned scales still report > thr (the unfit verdict is
-    preserved)."""
+    """With per-frame thresholds: the first fitting scale is exact,
+    unfit scales report totals > thr (possibly partial), and scales
+    above the first fit are skipped with an over-threshold sentinel —
+    everything first-fit selection needs, nothing more."""
     rng = np.random.default_rng(9)
     # Two tiles so abandonment (a tile-granular decision) actually
     # triggers: scales whose first-tile partial exceeds thr skip tile 2.
@@ -124,8 +125,16 @@ def test_sweep_chunk_thresholded_interpret():
                                           jnp.asarray(thr), interpret=True)
     got_b = np.asarray(got_b)
     for f in range(2):
+        fit_seen = False
         for i in range(bsp.CHUNK):
-            if exact_b[f, i] <= thr[f]:
+            if fit_seen:
+                # Scales above the first fit are irrelevant to first-fit
+                # selection and report an over-threshold sentinel.
+                assert got_b[f, i] > thr[f], (f, i)
+            elif exact_b[f, i] <= thr[f]:
+                # The first fitting scale is exact.
                 assert got_b[f, i] == exact_b[f, i], (f, i)
+                fit_seen = True
             else:
+                # Unfit scales report (possibly partial) totals > thr.
                 assert got_b[f, i] > thr[f], (f, i)
