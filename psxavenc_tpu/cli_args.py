@@ -536,8 +536,11 @@ def parse_args(args, options):
         return False
     if args.format == FORMAT_INVALID or args.input_file is None or \
             args.output_file is None:
-        print(USAGE, file=sys.stderr, end="")
-        print("Run psxavenc -h for the full list of options.",
-              file=sys.stderr)
+        # args.c:722-733 trailer, byte-identical.
+        print(USAGE, file=sys.stderr)
+        print("For more information about the options supported for a "
+              "given output format, run:\n    psxavenc -t <format> -h\n"
+              "To view the full list of supported options, run:\n"
+              "    psxavenc -h", file=sys.stderr)
         return False
     return True

@@ -1,0 +1,67 @@
+"""CLI error-path parity: bad invocations produce the reference's exit
+code and stderr detail (args.c error texts, main.c exit paths)."""
+
+import subprocess
+
+import pytest
+
+from psxavenc_tpu import cli
+from psxavenc_tpu.utils.oracle import ORACLE, build_oracle
+from tests.conftest import rand_pcm, write_wav
+
+
+@pytest.fixture(scope="module")
+def wav_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("clierr")
+    return str(write_wav(d / "in.wav", rand_pcm(8000, seed=1), 44100))
+
+
+BAD_ARGS = [
+    [],                                            # no arguments
+    ["-t"],                                        # -t without value
+    ["-t", "nosuchformat"],                        # unknown format
+    ["-v", "v2", "-t", "sbs"],                     # format opt before -t
+    ["-Z", "-t", "spu"],                           # unknown general opt
+    ["-t", "xa", "-f", "12345"],                   # invalid xa rate
+    ["-t", "xa", "-c", "3"],                       # invalid xa channels
+    ["-t", "xa", "-b", "6"],                       # invalid xa bit depth
+    ["-t", "xa", "-F", "999"],                     # file number range
+    ["-t", "xa", "-C", "77"],                      # channel number range
+    ["-t", "sbs", "-v", "v9"],                     # unknown codec
+    ["-t", "sbs", "-s", "10x10"],                  # size out of range
+    ["-t", "sbs", "-s", "320"],                    # malformed size
+    ["-t", "str", "-r", "0"],                      # fps out of range
+    ["-t", "str", "-r", "15/0"],                   # zero denominator
+    ["-t", "str", "-x", "3"],                      # bad cd speed
+    ["-t", "str", "-T", "70000"],                  # id out of range
+    ["-t", "spu", "-l", "abc"],                    # non-numeric ms
+    ["-t", "sbs", "-a", "100"],                    # sbs alignment < 256
+]
+
+
+@pytest.mark.parametrize("args", BAD_ARGS, ids=[" ".join(a) or "(empty)"
+                                                for a in BAD_ARGS])
+def test_bad_invocations_match_reference(args, wav_file, tmp_path,
+                                         capsys, oracle):
+    full = args + [wav_file, str(tmp_path / "out.bin")]
+    rc = cli.main(full)
+    ours_err = capsys.readouterr().err
+    r = subprocess.run([str(ORACLE)] + full, capture_output=True,
+                       text=True)
+    assert rc == r.returncode, (ours_err, r.stderr)
+    # The reference's last stderr line is the specific complaint; ours
+    # must carry the same text (banners/usage may differ in position).
+    ref_detail = [ln for ln in r.stderr.strip().splitlines() if ln]
+    if rc != 0 and ref_detail:
+        assert ref_detail[-1] in ours_err, (ref_detail[-1], ours_err)
+
+
+def test_missing_input_matches_reference(tmp_path, capsys, oracle):
+    full = ["-t", "spu", "/nonexistent/in.wav", str(tmp_path / "o.spu")]
+    rc = cli.main(full)
+    ours_err = capsys.readouterr().err
+    r = subprocess.run([str(ORACLE)] + full, capture_output=True,
+                       text=True)
+    assert rc == r.returncode == 1
+    assert "Failed to open input file" in ours_err
+    assert "Failed to open input file" in r.stderr
