@@ -65,3 +65,30 @@ def test_missing_input_matches_reference(tmp_path, capsys, oracle):
     assert rc == r.returncode == 1
     assert "Failed to open input file" in ours_err
     assert "Failed to open input file" in r.stderr
+
+
+@pytest.mark.parametrize("args,ext", [
+    (["-t", "vag", "-f", "44100"], "vag"),
+    (["-t", "xa", "-f", "37800", "-c", "2", "-b", "4"], "xa"),
+    (["-t", "spui", "-c", "2", "-i", "100"], "spui"),  # -i rounds to x16
+])
+def test_banners_match_reference(args, ext, wav_file, tmp_path, capfd,
+                                 oracle):
+    """Non-quiet stderr (format banners, warnings, Done.) is identical
+    for fast encodes (the 1-second progress throttle emits nothing).
+    capfd (not capsys): the native ingest extension prints its warnings
+    straight to fd 2, like the reference."""
+    ours_out = tmp_path / f"o.{ext}"
+    rc = cli.main(args + [wav_file, str(ours_out)])
+    ours_err = capfd.readouterr().err
+    ref_out = tmp_path / f"r.{ext}"
+    r = subprocess.run([str(ORACLE)] + args + [wav_file, str(ref_out)],
+                       capture_output=True, text=True)
+    assert rc == r.returncode == 0
+    # Strip progress lines (timing-dependent \r-prefixed counters) and
+    # glog noise from the XLA CPU runtime (fd-2 capture sees it).
+    strip = lambda s: "\n".join(
+        ln for ln in s.splitlines() if not ln.startswith("\r")
+        and "Encoding speed" not in ln
+        and not (len(ln) > 1 and ln[0] in "EWIF" and ln[1].isdigit()))
+    assert strip(ours_err) == strip(r.stderr), (ours_err, r.stderr)
