@@ -157,3 +157,23 @@ def test_sbs_fat_block_fallback_golden(tmp_path, oracle):
         ["-t", "sbs", "-v", "v2", "-s", f"{w}x{h}", "-a", 32768], "sbs")
     assert len(ref) == len(ours)
     assert ref == ours
+
+
+def test_str_audio_runs_dry_golden(tmp_path, oracle):
+    """Audio shorter than the video: the reference bumps
+    video_sectors_per_block when an audio sector comes up empty
+    (filefmt.c:482-485), changing the interleave pattern mid-file —
+    reproduce byte-for-byte (modulo the documented uninit masks)."""
+    w, h, nf, fps = 64, 64, 12, 15
+    frames = rand_frames(w, h, nf, seed=55)
+    # ~40% of the video duration's worth of audio.
+    n_audio = int(37800 * (nf / fps) * 0.4)
+    audio = rand_pcm(n_audio, channels=2, seed=54)
+    ref, ours = _encode_both(
+        tmp_path, (w, h, frames, fps, {"audio": audio,
+                                       "audio_rate": 37800}),
+        ["-t", "strcd", "-v", "v2", "-s", f"{w}x{h}"], "str")
+    assert len(ref) == len(ours), (len(ref), len(ours))
+    mask = list(range(2328, 2352))
+    assert _mask_sectors(ref, 2352, mask) == _mask_sectors(ours, 2352,
+                                                           mask)
