@@ -25,7 +25,7 @@ def _both(tmp_path, infile, enc_args, ext):
     return ref_out.read_bytes(), our_out.read_bytes()
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", range(8))
 def test_fuzz_audio(tmp_path, oracle, seed):
     rng = np.random.default_rng(1000 + seed)
     fmt = rng.choice(["xa", "xacd", "spu", "vag", "spui", "vagi"])
@@ -68,7 +68,7 @@ def test_fuzz_audio(tmp_path, oracle, seed):
     assert ref == ours, args
 
 
-@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("seed", range(6))
 def test_fuzz_video(tmp_path, oracle, seed):
     rng = np.random.default_rng(3000 + seed)
     fmt = rng.choice(["sbs", "strv"])
