@@ -245,9 +245,11 @@ def _probe_loop_tags(dec, probe):
     for key, value in tags.items():
         if key.lower() == "loop_start":
             # AV_TIME_BASE (microsecond) units, C strtoll semantics:
-            # parse the leading integer, 0 if none.
-            dec.loop_meta_ms = int(
-                (_strtoll(str(value)) * 1000) // AV_TIME_BASE)
+            # parse the leading integer, 0 if none. C integer division
+            # truncates toward zero (decoding.c:347), unlike Python //.
+            us = _strtoll(str(value)) * 1000
+            q = abs(us) // AV_TIME_BASE
+            dec.loop_meta_ms = -q if us < 0 else q
             break
     chapters = probe.get("chapters", []) or []
     dec.n_chapters = len(chapters)
@@ -594,6 +596,17 @@ def open_av_data(args, flags):
             pcm = _remix_channels(avi.audio, args.audio_channels)
             audio = _resample(pcm, avi.audio_rate, args.audio_frequency)
         else:
+            if ext == ".wav" and force_ffmpeg_audio:
+                # -R reroutes decoding through the ffmpeg CLI, but the
+                # smpl loop chunk must still be honored — the reference
+                # parses it regardless of -R (decoding.c:331-342).
+                try:
+                    w = wavmod.read_wav(path)
+                    if w.loop_start_offset >= 0:
+                        pts = w.loop_start_offset / w.sample_rate
+                        dec.loop_point_ms = int(round(pts * 1000.0))
+                except Exception:  # noqa: BLE001 — smpl probe only
+                    pass
             p = get_probe()
             if p is None and force_ffmpeg_audio:
                 print("-R options require the ffmpeg/ffprobe binaries "
@@ -664,9 +677,16 @@ def open_av_data(args, flags):
         if frames:
             dec.video = np.stack(frames)
             dec.has_video = True
+        elif frames is not None:
+            # Stream present but zero frames decoded: the reference's
+            # open_av_data succeeds (has_video keys off stream presence)
+            # and the muxer simply encodes no frames, like the native
+            # ingest tier.
+            fsz = dec.video_width * dec.video_height * 3 // 2
+            dec.video = np.zeros((0, fsz), np.uint8)
+            dec.has_video = True
         elif flags & DECODER_VIDEO_REQUIRED:
-            if frames is None:
-                print("Input file has no video data", file=sys.stderr)
+            print("Input file has no video data", file=sys.stderr)
             raise OpenError()
 
     return dec

@@ -112,6 +112,9 @@ extern "C" void psxn_ingest_free(Res *res) {
 // Returns 0 on success; nonzero on failure (any detail message has
 // already been printed to stderr, like the reference's open_av_data).
 extern "C" int psxn_ingest_open(const Req *req, Res *res) {
+    // -q silences libav* warnings, like the reference (decoding.c:158-159).
+    if (req->quiet)
+        av_log_set_level(AV_LOG_QUIET);
     memset(res, 0, sizeof(*res));
     res->loop_meta_ms = -1;
     res->chapter0_ms = -1;

@@ -158,6 +158,53 @@ def test_probe_loop_tags_parsing():
     assert dec.loop_chapter_ms == 3000
 
 
+def test_probe_loop_tag_negative_truncates_toward_zero():
+    """C integer division truncates toward zero (decoding.c:347):
+    strtoll("-1500001")*1000/AV_TIME_BASE = -1500, not Python's -1501."""
+    dec = ingest.Decoder()
+    ingest._probe_loop_tags(
+        dec, {"format": {"tags": {"loop_start": "-1500001"}}})
+    assert dec.loop_meta_ms == -1500
+
+
+def test_wav_smpl_survives_swresample_options(tmp_path, monkeypatch):
+    """-R reroutes WAV decode through the ffmpeg CLI but the smpl loop
+    point must still be parsed (decoding.c:331-342)."""
+    wav = write_wav(tmp_path / "l.wav", rand_pcm(4000, seed=2), 8000,
+                    loop_start=2000)
+    monkeypatch.setenv("PSXAVENC_NO_NATIVE_INGEST", "1")
+    monkeypatch.setattr(ingest, "_ffprobe", lambda path: {
+        "streams": [{"codec_type": "audio", "channels": 1}],
+        "format": {}})
+    monkeypatch.setattr(ingest, "_ffmpeg_audio",
+                        lambda args, path: rand_pcm(
+                            4000, seed=2).reshape(-1, 1))
+    args = _FakeArgs(audio_frequency=8000,
+                     swresample_options="filter_size=64")
+    args.input_file = str(wav)
+    dec = ingest.open_av_data(args, ingest.DECODER_USE_AUDIO)
+    assert dec.has_audio
+    assert dec.loop_point_ms == 250   # 2000 / 8000 Hz = 250 ms
+
+
+def test_zero_frame_video_stream_opens(monkeypatch):
+    """A present video stream that decodes zero frames opens successfully
+    with an empty frame buffer (reference open_av_data succeeds; the
+    muxer just encodes nothing), instead of raising."""
+    monkeypatch.setenv("PSXAVENC_NO_NATIVE_INGEST", "1")
+    monkeypatch.setattr(ingest, "_ffprobe", lambda path: {
+        "streams": [{"codec_type": "video", "width": 320, "height": 240}],
+        "format": {}})
+    monkeypatch.setattr(ingest, "_ffmpeg_video",
+                        lambda args, path, w, h: ([], 320, 240))
+    args = _FakeArgs(video_width=320, video_height=240, flags=0)
+    args.input_file = "whatever.mp4"
+    dec = ingest.open_av_data(
+        args, ingest.DECODER_USE_VIDEO | ingest.DECODER_VIDEO_REQUIRED)
+    assert dec.has_video
+    assert dec.video.shape == (0, 320 * 240 * 3 // 2)
+
+
 def test_wav_smpl_loop_point(tmp_path):
     wav = write_wav(tmp_path / "l.wav", rand_pcm(4000, seed=1), 8000,
                     loop_start=2000)
