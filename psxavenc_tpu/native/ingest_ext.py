@@ -85,9 +85,13 @@ def _build():
 def load():
     """The ctypes library, or None when it cannot be built/loaded."""
     global _lib, _load_failed
+    # The disable knob must beat the cache: tests toggle it after the
+    # extension has already been loaded by an earlier encode.
+    if os.environ.get("PSXAVENC_NO_NATIVE_INGEST"):
+        return None
     if _lib is not None:
         return _lib
-    if _load_failed or os.environ.get("PSXAVENC_NO_NATIVE_INGEST"):
+    if _load_failed:
         return None
     try:
         lib = ctypes.CDLL(str(_build()))

@@ -176,34 +176,43 @@ def _kernel(goff_ref, streams_ref, out_ref, *, nrows):
         win[0, 128:].astype(jnp.int32)
 
 
-_GW = 64  # candidate blocks per gather window
+_GW = 32  # candidate blocks per gather window (~tile occupancy)
 
 
-def _gather_kernel(j0_ref, nwin_ref, e0_ref, vals_ref, out_ref):
+def _gather_kernel(j0_ref, nwin_ref, e0_ref, vals_ref, out_ref, *,
+                   ntiles):
+    """One grid step per frame (TPU grids are sequential — fat steps beat
+    the former (B, ntiles) grid's per-step dispatch), looping output
+    tiles inside. Contributions are bit-disjoint: the 9 per-candidate
+    offsets map to distinct lanes (OR-accumulated, one compare/select
+    each) and distinct candidates never share set bits, so one final
+    int32 sum over the candidate axis replaces the former 9 cross-
+    sublane reductions."""
     b = pl.program_id(0)
-    t = pl.program_id(1)
-    j0 = j0_ref[b, t]
-    nw = nwin_ref[b, t]
-    tile_start = t * 128
     lanes = jax.lax.broadcasted_iota(jnp.int32, (_GW, 128), 1)
 
-    def win_body(w, acc):
-        j = j0 + w * _GW
-        e = e0_ref[0, pl.ds(j, _GW), 0].reshape(_GW, 1) - tile_start
-        vals = vals_ref[0, pl.ds(j, _GW), :]
-        for i in range(9):
-            match = (e + i) == lanes
-            # int32 sum: contributions are bit-disjoint, so two's-
-            # complement addition == bitwise OR (no carries), and Mosaic
-            # has no unsigned reductions.
-            acc = acc + jnp.sum(
-                jnp.where(match, vals[:, i:i + 1], 0),
-                axis=0, keepdims=True)
-        return acc
+    def tile_body(t, carry):
+        j0 = j0_ref[b, t]
+        nw = nwin_ref[b, t]
+        tile_start = t * 128
 
-    acc = jax.lax.fori_loop(0, nw, win_body,
-                            jnp.zeros((1, 128), jnp.int32))
-    out_ref[0, 0] = acc[0]
+        def win_body(w, acc):
+            j = j0 + w * _GW
+            e = e0_ref[0, pl.ds(j, _GW), 0].reshape(_GW, 1) - tile_start
+            vals = vals_ref[0, pl.ds(j, _GW), :]
+            diff = lanes - e                       # (GW, 128)
+            contrib = jnp.zeros((_GW, 128), jnp.int32)
+            for i in range(9):
+                contrib = contrib | jnp.where(diff == i,
+                                              vals[:, i:i + 1], 0)
+            return acc + jnp.sum(contrib, axis=0, keepdims=True)
+
+        acc = jax.lax.fori_loop(0, nw, win_body,
+                                jnp.zeros((1, 128), jnp.int32))
+        out_ref[0, 0, pl.ds(pl.multiple_of(t * 128, 128), 128)] = acc[0]
+        return carry
+
+    jax.lax.fori_loop(0, ntiles, tile_body, 0)
 
 
 @functools.partial(jax.jit,
@@ -240,7 +249,7 @@ def place_streams_gather_pallas(streams, goff, total_bits, *,
                                              side="left"))(e0)
     nwin = -(-(j1 - j0) // _GW)
 
-    # Pad rows so dynamic 64-row loads stay in bounds; sentinel offsets
+    # Pad rows so dynamic _GW-row loads stay in bounds; sentinel offsets
     # never match a tile.
     pad = _GW * 8
     vals32 = jnp.pad(vals32, ((0, 0), (0, pad), (0, 7)))
@@ -248,20 +257,20 @@ def place_streams_gather_pallas(streams, goff, total_bits, *,
                   constant_values=jnp.int32(1 << 30))
 
     out = pl.pallas_call(
-        _gather_kernel,
+        functools.partial(_gather_kernel, ntiles=ntiles),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(B, ntiles),
+            grid=(B,),
             in_specs=[
                 pl.BlockSpec((1, NBe + pad, 1),
-                             lambda b, t, *_: (b, 0, 0),
+                             lambda b, *_: (b, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, NBe + pad, 16),
-                             lambda b, t, *_: (b, 0, 0),
+                             lambda b, *_: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 1, 128),
-                                   lambda b, t, *_: (b, 0, t),
+            out_specs=pl.BlockSpec((1, 1, ntiles * 128),
+                                   lambda b, *_: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((B, 1, ntiles * 128), jnp.int32),

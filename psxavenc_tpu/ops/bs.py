@@ -477,77 +477,34 @@ def encode_frames_symbols(coefs, frame_max_sizes, *, codec,
     dc_total = dc_bits.sum(axis=1)
 
     if pallas_sweep:
-        # Fused Mosaic kernel (ops/bs_pallas.py): 16-scale chunks over a
-        # VMEM-resident tile, driven by the same early-exit loop as the
-        # XLA path; ~3.7x faster per scale.
+        # Fused Mosaic select kernel (ops/bs_pallas.py): one grid step
+        # per frame, in-kernel monotone-LB binary search + exact
+        # first-fit walk — each frame stops at its own first fit
+        # (provably the reference retry loop's choice, mdec.c:663-722).
         from . import bs_pallas
 
-        PCH = bs_pallas.CHUNK
-        sentinel = jnp.int32(1 << 29)
-
-        # Exact-safe scale skipping: a provable, monotone-in-scale lower
-        # bound on the bitstream (minimum Huffman cost by |level| class,
-        # one cheap kernel pass over the LB_PROBES grid) rules out every
-        # scale at or below the last infeasible probe, so the sweep
-        # starts its first chunk just past it. Selection is provably
-        # unchanged: skipped scales can never fit.
-        lb_ac = bs_pallas.lb_probe_pallas(c)     # (B, NPROBE)
-        lb_bits = lb_ac + dc_total[:, None] + 2 * nb + 10
-        lb_bytes = 8 + 2 * ((lb_bits + 15) >> 4)
-        infeasible = lb_bytes > frame_max_sizes[:, None]
-        probes = jnp.asarray(bs_pallas.LB_PROBES, jnp.int32)
-        nprobe = probes.shape[0]
-        last_inf = jnp.where(
-            jnp.any(infeasible, axis=1),
-            nprobe - 1 - jnp.argmax(infeasible[:, ::-1], axis=1), -1)
-        start_idx = jnp.where(last_inf >= 0,
-                              probes[jnp.maximum(last_inf, 0)] + 1, 0)
-        s_init = jnp.minimum(jnp.min(start_idx), 62).astype(jnp.int32)
-
-        # Per-scale tables padded so chunk writes at arbitrary offsets
-        # never clamp (dynamic_update_slice clips starts near the edge).
-        WIDE = 63 + PCH
-
-        def pcond(state):
-            s_cur, bits_ps, _ = state
-            rng_ = jnp.arange(WIDE)
-            computed = (rng_ >= s_init) & (rng_ < s_cur) & (rng_ < 63)
-            tb = 8 + 2 * ((bits_ps + dc_total[:, None] + 2 * nb + 10 + 15)
-                          >> 4)
-            fits_any = jnp.any((tb <= frame_max_sizes[:, None])
-                               & computed[None, :], axis=1)
-            return (s_cur < 63) & ~jnp.all(fits_any)
-
         # Per-frame AC-bit fit threshold: fits iff ac_bits <= thr_ac
-        # (equivalent inverse of the byte-budget rule in _select). Lets
-        # the kernel abandon provably-unfit scales mid-accumulation.
+        # (the exact inverse of the byte-budget rule in _select:
+        # 8 + 2*ceil((ac+extra)/16) <= M  <=>  ac <= 16*((M-8)//2) -
+        # extra, both sides integer).
         thr_ac = (((frame_max_sizes - 8) // 2) * 16
                   - (dc_total + 2 * nb + 10))
-
-        def pbody(state):
-            s_cur, bits_ps, nz_ps = state
-            bc, nc = bs_pallas.sweep_chunk_pallas(c, s_cur, thr_ac)
-            bits_ps = jax.lax.dynamic_update_slice(bits_ps, bc,
-                                                   (0, s_cur))
-            nz_ps = jax.lax.dynamic_update_slice(nz_ps, nc, (0, s_cur))
-            return s_cur + PCH, bits_ps, nz_ps
-
-        # Derive the carry init from a varying operand so the loop is
-        # well-typed under shard_map's manual axes.
-        vzero = (frame_max_sizes * 0)[:, None]
-        _, bits_ps, nz_ps = jax.lax.while_loop(
-            pcond, pbody,
-            (s_init,
-             jnp.full((B, WIDE), sentinel, jnp.int32) + vzero,
-             jnp.zeros((B, WIDE), jnp.int32) + vzero))
-        # Columns >= 63 are chunk-overhang garbage: drop them.
+        scale, ac_bits, nz_at = bs_pallas.select_scale_pallas(c, thr_ac)
+        scale_idx = jnp.where(scale <= 63, scale - 1, 0)
+        total_at = ac_bits + dc_total + 2 * nb + 10
+        out = {
+            "scale": scale,
+            "scale_idx": scale_idx,
+            "nz_count": nz_at,
+            "total_bits": total_at,
+        }
         if not emit:
-            return _select_only(c, bits_ps[:, :63], nz_ps[:, :63],
-                                dc_bits, dc_code, dc_total,
-                                frame_max_sizes, nb)
-        return _select_and_emit(c, bits_ps[:, :63], nz_ps[:, :63],
-                                dc_bits, dc_code, dc_total,
-                                frame_max_sizes, nb)
+            out.update(c=c, dc_bits=dc_bits, dc_code=dc_code)
+            return out
+        codes, bits = emit_symbols_at(c, scale_idx, dc_bits, dc_code)
+        del out["scale_idx"]
+        out.update(codes=codes, bits=bits)
+        return out
 
     # Chunked early-exit sweep: scales are costed 8 at a time in order and
     # the loop stops once every frame has found a fitting scale — the

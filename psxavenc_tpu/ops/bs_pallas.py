@@ -1,14 +1,19 @@
-"""Pallas TPU kernel for the BS quantization-scale sweep.
+"""Pallas TPU kernels for the BS quantization-scale selection + emission.
 
 The XLA sweep (ops/bs.py) materializes (B, 63, NB)-sized intermediates per
-scale; this kernel keeps a coefficient tile resident in VMEM and runs all
-63 scales over it with zero HBM round-trips — the sweep's ~70 ops per
-(position, scale) execute out of vector registers.
+scale; these kernels keep a frame's coefficients resident in VMEM and run
+the whole scale search over them with zero HBM round-trips.
 
-Grid: (B, NB_tiles); a CHUNK-scale chunk loops inside, starting from a
-runtime scale offset so the caller's early-exit loop (ops/bs.py) can stop
-after the first fitting chunk. Per-scale bit/nonzero totals accumulate in
-VMEM scratch across tiles and are written on the last tile.
+``select_scale_pallas`` is the production select stage: grid (B,) — one
+sequential Mosaic step per frame (TPU grids execute serially, so fat steps
+beat the former (B, CHUNK, ntiles) grid whose thousands of tiny steps paid
+~1 us of dispatch + redundant DMA each). Per frame the kernel binary-
+searches a provable monotone lower bound for the first possibly-fitting
+scale (6 cheap ladder passes replace the old probe-grid kernel), then
+walks scales upward computing exact closed-form bit totals until the first
+fit — each frame stops at ITS OWN first fit instead of synchronizing with
+the slowest frame in the batch (the old XLA while-loop over 8-scale
+chunks).
 
 Outputs are exact (same f32-reciprocal division, clamp, run-length, and
 closed-form Huffman sizing as ops/bs.py) — asserted against the XLA path
@@ -26,11 +31,6 @@ from jax.experimental.pallas import tpu as pltpu
 from . import bs as bs_ops
 
 TILE = 512
-# 8 scales per sweep invocation: with the lower-bound-positioned dynamic
-# chunk start (ops/bs.py), the LB-to-chosen gap is 0-5 scales for typical
-# content (<= 13 for pure noise at mid budgets), so one or two 8-scale
-# chunks replace the old fixed 16-scale ones.
-CHUNK = 8
 
 
 def _cummax_cols(x):
@@ -46,167 +46,172 @@ def _cummax_cols(x):
     return x
 
 
-def _kernel(s0_ref, thr_ref, c_ref, qcol_ref, rcp_ref, out_bits_ref,
-            out_nz_ref, acc_bits, acc_nz, fit_state):
-    # s0_ref/thr_ref are the scalar-prefetch args. Grid: (B, CHUNK,
-    # ntiles), scales OUTER of tiles so a scale's verdict is known
-    # before later scales start.
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    nt = pl.program_id(2)
-    ntiles = pl.num_programs(2)
+def ladder_lb(ca, d, half):
+    """Provable AC-bitstream lower bound terms for one (63, W) tile of
+    |coefficients| at divisors ``d`` (63, 1).
 
-    @pl.when((i == 0) & (nt == 0))
-    def _():
-        # fit_state = [found_flag, scale_that_fit]
-        fit_state[0] = 0
-        fit_state[1] = 0
+    round-half-away: level(|c|) >= k iff |c| >= k*d - d//2
+    (mdec.c:434-439). Minimum Huffman cost by |level| class (best run for
+    each): 1->3, 2->5, 3->6, 4->8, 5+->9 bits, i.e. ladder weights
+    3/2/1/2/1; plus one run-aware bit for every nonzero whose
+    predecessor scan position is zero (its run is >= 1, and every AC code
+    family costs at least one extra bit at run >= 1 vs run 0).
 
-    @pl.when(nt == 0)
-    def _():
-        acc_bits[...] = jnp.zeros_like(acc_bits)
-        acc_nz[...] = jnp.zeros_like(acc_nz)
+    Monotone non-increasing in s = d/q: each magnitude threshold
+    k*q*s - (q*s)//2 is non-decreasing in s, and when k elements leave
+    the nonzero set the ladder drops >= 3k while the isolated-nonzero
+    count rises at most 2k (one per surviving neighbor) minus those
+    leaving, so the total still falls. Scales where this bound exceeds
+    the fit threshold provably cannot fit (tests pin both properties).
+    """
+    nzi = (ca >= d - half).astype(jnp.int32)
+    lb = (3 * nzi
+          + 2 * (ca >= 2 * d - half)
+          + (ca >= 3 * d - half) + 2 * (ca >= 4 * d - half)
+          + (ca >= 5 * d - half))
+    pos = jax.lax.broadcasted_iota(jnp.int32, ca.shape, 0) + 1
+    prev_nz = jnp.where(pos > 1, pltpu.roll(nzi, 1, 0), 1)
+    return lb + nzi * (1 - prev_nz)
 
-    s0 = s0_ref[0]
-    thr = thr_ref[b]
 
-    # Two exact-safe skips (selection provably unchanged):
-    # - once ANY lower scale in this chunk fits, later scales are
-    #   irrelevant (first-fit selection) — skipped entirely;
-    # - once this scale's partial total exceeds the fit threshold, its
-    #   unfit verdict is final — remaining tiles are skipped and the
-    #   partial (> thr) is returned.
-    partial = jnp.sum(acc_bits[0, :])
-    live = (fit_state[0] == 0) & (partial <= thr)
+def _ladder_total(c_ref, q_col, s, nchunks):
+    """Sum of :func:`ladder_lb` over a frame at scale ``s`` (traced)."""
+    d = q_col * s
+    half = d >> 1
+    tot = jnp.int32(0)
+    for ci in range(nchunks):
+        ca = jnp.abs(c_ref[0, :, ci * TILE:(ci + 1) * TILE])
+        tot = tot + jnp.sum(ladder_lb(ca, d, half))
+    return tot
 
-    @pl.when(live)
-    def _():
-        c = c_ref[0]                               # (63, TILE)
-        ac_abs_max = jnp.abs(c)
-        q_col = qcol_ref[...]                      # (63, 1) int32
-        rcp_base = rcp_ref[...]                    # (63, 1) f32
-        pos = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0) + 1
-        s = s0 + i + 1
-        d = q_col * s
-        # Exact round-half-away via f32 reciprocal + integer correction
-        # (same construction as bs._div_rounded_fast).
-        t = ac_abs_max + (d >> 1)
-        rcp = rcp_base * (1.0 / s.astype(jnp.float32))
+
+def _exact_totals(c_ref, q_col, rcp_base, s, nchunks):
+    """Exact AC bit/nonzero totals at scale ``s`` (traced scalar): the
+    same f32-reciprocal round-half-away division, run lengths and
+    closed-form Huffman sizing as ops/bs.py. Only |mag| matters for bits
+    (anything > 40 is the 22-bit escape either way), so the coefficient
+    clamp is unnecessary here."""
+    d = q_col * s
+    half = d >> 1
+    rcp = rcp_base * (1.0 / s.astype(jnp.float32))
+    bits_tot = jnp.int32(0)
+    nz_tot = jnp.int32(0)
+    for ci in range(nchunks):
+        ca = jnp.abs(c_ref[0, :, ci * TILE:(ci + 1) * TILE])
+        t = ca + half
         q0 = (t.astype(jnp.float32) * rcp).astype(jnp.int32)
         r = t - q0 * d
         mag = q0 + (r >= d).astype(jnp.int32) - (r < 0).astype(jnp.int32)
-        # Clamp: values land in [-512, 510]; only |mag| matters for bits
-        # (anything > 40 is the 22-bit escape either way).
         nz = mag != 0
+        pos = jax.lax.broadcasted_iota(jnp.int32, ca.shape, 0) + 1
         nzpos = jnp.where(nz, pos, 0)
         prev = _cummax_cols(nzpos)
         prev_excl = jnp.where(pos > 1, pltpu.roll(prev, 1, 0), 0)
         run = pos - prev_excl - 1
         bits = jnp.where(nz, bs_ops.ac_bits_closed_form(run, mag), 0)
-        acc_bits[0, :] = acc_bits[0, :] + jnp.sum(bits, axis=0,
-                                                  keepdims=True)[0]
-        acc_nz[0, :] = acc_nz[0, :] + jnp.sum(nz.astype(jnp.int32),
-                                              axis=0, keepdims=True)[0]
-
-    @pl.when(nt == ntiles - 1)
-    def _():
-        total = jnp.sum(acc_bits[0, :])
-
-        # Only a real threshold arms the skip (thr >= 2^29 means the
-        # caller wants exact totals for every scale, e.g. tests).
-        @pl.when((fit_state[0] == 0) & (total <= thr)
-                 & (thr < (1 << 29)))
-        def _():
-            fit_state[0] = 1
-            fit_state[1] = i
-
-        skipped = (fit_state[0] == 1) & (i > fit_state[1])
-        lane0 = (jax.lax.broadcasted_iota(jnp.int32,
-                                          acc_bits.shape, 1) == 0)
-        sentinel = jnp.where(lane0, jnp.int32(1 << 29), 0)
-        out_bits_ref[0, 0, 0] = jnp.where(skipped, sentinel,
-                                          acc_bits[0, :][None])[0]
-        out_nz_ref[0, 0, 0] = jnp.where(skipped, 0,
-                                        acc_nz[0, :][None])[0]
+        bits_tot = bits_tot + jnp.sum(bits)
+        nz_tot = nz_tot + jnp.sum(nz.astype(jnp.int32))
+    return bits_tot, nz_tot
 
 
-# Probed scales for the sweep's lower-bound positioning (0-based scale
-# indices). The LB is provably monotone non-increasing in scale (each
-# |level|>=k threshold k*q*s - (q*s)//2 is non-decreasing in s), so a
-# probe grid is exact-safe: every scale at or below the last infeasible
-# probe is infeasible.
-LB_PROBES = tuple(range(3, 63, 4))
+def _select_kernel(thr_ref, c_ref, qcol_ref, rcp_ref, out_ref, *,
+                   nchunks):
+    """Per-frame first-fit scale selection, one grid step per frame.
 
+    Binary-search the monotone ladder LB for the first possibly-fitting
+    scale, then walk upward with exact totals until the first true fit —
+    provably the reference's retry-loop choice (mdec.c:663-722): every
+    scale below the LB start has ladder > thr => exact bits > thr =>
+    cannot fit."""
+    b = pl.program_id(0)
+    thr = thr_ref[b]
+    q_col = qcol_ref[...]                          # (63, 1) int32
+    rcp_base = rcp_ref[...]                        # (63, 1) f32
 
-def _lb_kernel(c_ref, qcol_ref, lb_ref, acc_lb):
-    nt = pl.program_id(1)
-    ntiles = pl.num_programs(1)
+    # --- lower_bound(feasible) over scales [1, 63]; 64 = none feasible.
+    def bs_cond(st):
+        lo, hi = st
+        return lo < hi
 
-    @pl.when(nt == 0)
-    def _():
-        acc_lb[...] = jnp.zeros_like(acc_lb)
+    def bs_body(st):
+        lo, hi = st
+        mid = (lo + hi) >> 1                       # in [1, 63]
+        feas = _ladder_total(c_ref, q_col, mid, nchunks) <= thr
+        return (jnp.where(feas, lo, mid + 1), jnp.where(feas, mid, hi))
 
-    c_abs = jnp.abs(c_ref[0])                      # (63, TILE)
-    q_col = qcol_ref[...]                          # (63, 1)
+    start, _ = jax.lax.while_loop(
+        bs_cond, bs_body, (jnp.int32(1), jnp.int32(64)))
 
-    for i, sidx in enumerate(LB_PROBES):
-        s = sidx + 1
-        d = q_col * s
-        half = d >> 1
-        # round-half-away: level(|c|) >= k iff |c| >= k*d - d//2
-        # (mdec.c:434-439). Minimum Huffman cost by |level| class (best
-        # run for each): 1->3, 2->5, 3->6, 4->8, 5+->9 bits, i.e. the
-        # ladder weights 3/2/1/2/1.
-        lb = (3 * (c_abs >= d - half).astype(jnp.int32)
-              + 2 * (c_abs >= 2 * d - half)
-              + (c_abs >= 3 * d - half) + 2 * (c_abs >= 4 * d - half)
-              + (c_abs >= 5 * d - half))
-        acc_lb[i, :] = acc_lb[i, :] + jnp.sum(lb, axis=0)
+    # --- exact first-fit walk from the LB start.
+    def sw_cond(st):
+        s, found, _, _ = st
+        return jnp.logical_not(found) & (s < 64)
 
-    @pl.when(nt == ntiles - 1)
-    def _():
-        lb_ref[0] = acc_lb[...]
+    def sw_body(st):
+        s, _, bits, nz = st
+        b_s, n_s = _exact_totals(c_ref, q_col, rcp_base, s, nchunks)
+        fit = b_s <= thr
+        return (s + 1, fit, jnp.where(fit, b_s, bits),
+                jnp.where(fit, n_s, nz))
+
+    s_end, found, bits, nz = jax.lax.while_loop(
+        sw_cond, sw_body,
+        (start, jnp.bool_(False), jnp.int32(0), jnp.int32(0)))
+    scale = jnp.where(found, s_end - 1, jnp.int32(64))
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    out_ref[0, 0] = jnp.where(
+        lane == 0, scale,
+        jnp.where(lane == 1, bits, jnp.where(lane == 2, nz, 0)))[0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def lb_probe_pallas(coefs_zz, *, interpret=False):
-    """Provable AC-bitstream lower bounds at the LB_PROBES scales.
+def select_scale_pallas(coefs_zz, thr_ac, *, interpret=False):
+    """First-fit quantization-scale selection on device.
 
-    Args: coefs_zz (B, 63, NB) int32 zigzag-ordered AC coefficients.
-    Returns (B, len(LB_PROBES)) int32. Used by the scale sweep to place
-    its first chunk past scales that provably cannot fit — exact-safe,
-    the selected scale is unchanged (tests/test_bs_pallas.py).
+    Args:
+      coefs_zz: (B, 63, NB) int32 zigzag-ordered AC coefficients in the
+        (positions, blocks) layout of ops.bs.encode_frames_symbols.
+      thr_ac: (B,) int32 per-frame AC-bit fit thresholds (the exact
+        inverse of the byte-budget rule, see ops/bs.py).
+    Returns (scale, ac_bits, nz): scale (B,) is the first s in 1..63
+    whose exact AC bit total fits (64 if none does — caller errors, like
+    mdec.c:723); ac_bits/nz (B,) are that scale's exact totals
+    (0 when scale == 64).
     """
     B, P, NB = coefs_zz.shape
     assert P == 63
     nb_pad = -(-NB // TILE) * TILE
     if nb_pad != NB:
+        # Zero blocks quantize to all-zero -> contribute nothing.
         coefs_zz = jnp.pad(coefs_zz, ((0, 0), (0, 0), (0, nb_pad - NB)))
-    ntiles = nb_pad // TILE
-    nprobe = len(LB_PROBES)
-    np_pad = -(-nprobe // 8) * 8
+    nchunks = nb_pad // TILE
 
     zz = bs_ops.ZAGZIG[1:]
     qcol = jnp.asarray(bs_ops.QUANT_PSX[zz].astype(np.int32))[:, None]
+    rcp = jnp.asarray(
+        (1.0 / bs_ops.QUANT_PSX[zz].astype(np.float64)).astype(
+            np.float32))[:, None]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(B, ntiles),
-        in_specs=[pl.BlockSpec((1, 63, TILE), lambda b, t: (b, 0, t),
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, 63, nb_pad), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((63, 1), lambda b, t: (0, 0),
+                  pl.BlockSpec((63, 1), lambda b, *_: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((63, 1), lambda b, *_: (0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((1, np_pad, TILE), lambda b, t: (b, 0, 0),
+        out_specs=[pl.BlockSpec((1, 1, 128), lambda b, *_: (b, 0, 0),
                                 memory_space=pltpu.VMEM)],
-        scratch_shapes=[pltpu.VMEM((np_pad, TILE), jnp.int32)],
     )
-    (lb,) = pl.pallas_call(
-        _lb_kernel,
+    (out,) = pl.pallas_call(
+        functools.partial(_select_kernel, nchunks=nchunks),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((B, np_pad, TILE), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((B, 1, 128), jnp.int32)],
         interpret=interpret,
-    )(coefs_zz, qcol)
-    return lb[:, :nprobe].sum(axis=2)
+    )(jnp.asarray(thr_ac, jnp.int32), coefs_zz, qcol, rcp)
+    return out[:, 0, 0], out[:, 0, 1], out[:, 0, 2]
 
 
 def _cumsum_excl_cols(x):
@@ -364,71 +369,3 @@ def emit_pack_pallas(coefs_zz, scale, dc_code, dc_bits, *,
     return streams, bbits[:, 0, :NB]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def sweep_chunk_pallas(coefs_zz, s0, thr=None, *, interpret=False):
-    """AC bit/nonzero totals for scales [s0+1, s0+CHUNK].
-
-    Args:
-      coefs_zz: (B, 63, NB) int32 — zigzag-ordered AC coefficients in the
-        (positions, blocks) layout of ops.bs.encode_frames_symbols.
-      s0: int32 scalar scale offset (scales beyond 63 produce garbage
-        rows the caller must mask).
-      thr: optional (B,) int32 per-frame AC-bit fit thresholds. Scales
-        whose partial sum already exceeds thr stop accumulating (the
-        returned value is a partial > thr — still correctly unfit);
-        scales with totals <= thr (incl. the selected one) are exact.
-        None = exact totals for every scale.
-    Returns:
-      bits (B, CHUNK) int32, nz (B, CHUNK) int32.
-    """
-    B, P, NB = coefs_zz.shape
-    if thr is None:
-        thr = jnp.full((B,), jnp.int32(1 << 30))
-    assert P == 63
-    nb_pad = -(-NB // TILE) * TILE
-    if nb_pad != NB:
-        # Zero blocks quantize to all-zero -> contribute nothing.
-        coefs_zz = jnp.pad(coefs_zz, ((0, 0), (0, 0), (0, nb_pad - NB)))
-    ntiles = nb_pad // TILE
-
-    zz = bs_ops.ZAGZIG[1:]
-    qcol = jnp.asarray(bs_ops.QUANT_PSX[zz].astype(np.int32))[:, None]
-    rcp = jnp.asarray(
-        (1.0 / bs_ops.QUANT_PSX[zz].astype(np.float64)).astype(
-            np.float32))[:, None]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, CHUNK, ntiles),
-        in_specs=[pl.BlockSpec((1, 63, TILE),
-                               lambda b, i, t, *_: (b, 0, t),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((63, 1), lambda b, i, t, *_: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((63, 1), lambda b, i, t, *_: (0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=[
-            pl.BlockSpec((1, 1, 1, TILE),
-                         lambda b, i, t, *_: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, TILE),
-                         lambda b, i, t, *_: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[pltpu.VMEM((1, TILE), jnp.int32),
-                        pltpu.VMEM((1, TILE), jnp.int32),
-                        pltpu.SMEM((2,), jnp.int32)],
-    )
-    bits, nz = pl.pallas_call(
-        _kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, CHUNK, 1, TILE), jnp.int32),
-            jax.ShapeDtypeStruct((B, CHUNK, 1, TILE), jnp.int32),
-        ],
-        interpret=interpret,
-    )(jnp.asarray(s0, jnp.int32)[None], jnp.asarray(thr, jnp.int32),
-      coefs_zz, qcol, rcp)
-    bits = bits[:, :, 0]
-    nz = nz[:, :, 0]
-    return bits.sum(axis=2), nz.sum(axis=2)

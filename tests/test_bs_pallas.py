@@ -1,5 +1,7 @@
-"""Mosaic scale-sweep kernel vs the XLA sweep (interpret mode on CPU so a
+"""Mosaic scale-select kernel vs the XLA sweep (interpret mode on CPU so a
 kernel regression fails pytest, not just the TPU bench validation)."""
+
+import functools
 
 import numpy as np
 import pytest
@@ -10,14 +12,13 @@ from psxavenc_tpu.ops import bs as bs_ops
 from psxavenc_tpu.ops import bs_pallas as bsp
 
 
-def _xla_chunk(c, s0):
-    """Per-scale AC bit/nonzero totals for scales s0+1..s0+CHUNK."""
+def _xla_all_scales(c):
+    """Exact per-scale AC bit/nonzero totals for every scale 1..63."""
     zz = bs_ops.ZAGZIG[1:]
     q = jnp.asarray(bs_ops.QUANT_PSX[zz])
     bits_out, nz_out = [], []
-    for i in range(bsp.CHUNK):
-        s = s0 + i + 1
-        ac = bs_ops._ac_quant(c, (q * min(s, 63))[None, :, None])
+    for s in range(1, 64):
+        ac = bs_ops._ac_quant(c, (q * s)[None, :, None])
         nz = ac != 0
         run = bs_ops._runs(nz, axis=1)
         bits = jnp.where(nz, bs_ops.ac_bits_closed_form(run, jnp.abs(ac)),
@@ -27,62 +28,117 @@ def _xla_chunk(c, s0):
     return np.stack(bits_out, axis=1), np.stack(nz_out, axis=1)
 
 
-@pytest.mark.parametrize("seed,nb,s0", [(0, bsp.TILE, 0),
-                                        (1, bsp.TILE + 100, 16)])
-def test_sweep_chunk_pallas_interpret(seed, nb, s0):
+def _first_fit(bits_ps, nz_ps, thr):
+    """Reference first-fit rule over exact per-scale totals."""
+    B = bits_ps.shape[0]
+    scale = np.full(B, 64, np.int32)
+    bits = np.zeros(B, np.int32)
+    nz = np.zeros(B, np.int32)
+    for f in range(B):
+        for i in range(63):
+            if bits_ps[f, i] <= thr[f]:
+                scale[f] = i + 1
+                bits[f] = bits_ps[f, i]
+                nz[f] = nz_ps[f, i]
+                break
+    return scale, bits, nz
+
+
+@pytest.mark.parametrize("seed,nb", [(0, bsp.TILE), (1, bsp.TILE + 100)])
+def test_select_scale_pallas_interpret(seed, nb):
+    """The kernel's (scale, bits, nz) match the exact first-fit rule over
+    a full XLA sweep, across a spread of thresholds (tight budgets force
+    a long in-kernel walk, loose ones an immediate fit)."""
     rng = np.random.default_rng(seed)
     c = rng.integers(-3000, 3000, (2, 63, nb)).astype(np.int32)
-    got_b, got_n = bsp.sweep_chunk_pallas(jnp.asarray(c), jnp.int32(s0),
-                                          interpret=True)
-    want_b, want_n = _xla_chunk(jnp.asarray(c), s0)
-    assert np.array_equal(np.asarray(got_b), want_b)
-    assert np.array_equal(np.asarray(got_n), want_n)
+    bits_ps, nz_ps = _xla_all_scales(jnp.asarray(c))
+    for q in (0.0, 0.3, 0.9):
+        # Thresholds between min and max per-scale totals.
+        thr = (bits_ps.min(axis=1)
+               + q * (bits_ps.max(axis=1) - bits_ps.min(axis=1))
+               ).astype(np.int32)
+        want = _first_fit(bits_ps, nz_ps, thr)
+        got = bsp.select_scale_pallas(jnp.asarray(c), jnp.asarray(thr),
+                                      interpret=True)
+        for g, w in zip(got, want):
+            assert np.array_equal(np.asarray(g), w), q
 
 
-def test_lb_probe_pallas_interpret():
-    """The probed lower bounds match a direct evaluation, never exceed
-    the exact closed-form bit totals, and are monotone in scale."""
+def test_select_scale_pallas_edges_interpret():
+    """Nothing fits -> 64; everything fits -> scale 1; all-zero frames
+    fit at scale 1 with zero bits."""
+    rng = np.random.default_rng(3)
+    c = rng.integers(-3000, 3000, (3, 63, bsp.TILE)).astype(np.int32)
+    c[2] = 0
+    bits_ps, nz_ps = _xla_all_scales(jnp.asarray(c))
+    thr = np.array([-5, 10 ** 8, 0], np.int32)
+    got = bsp.select_scale_pallas(jnp.asarray(c), jnp.asarray(thr),
+                                  interpret=True)
+    scale, bits, nz = (np.asarray(g) for g in got)
+    assert scale[0] == 64 and bits[0] == 0 and nz[0] == 0
+    assert scale[1] == 1 and bits[1] == bits_ps[1, 0]
+    assert nz[1] == nz_ps[1, 0]
+    assert scale[2] == 1 and bits[2] == 0 and nz[2] == 0
+
+
+def test_ladder_lower_bound_properties():
+    """The in-kernel ladder LB never exceeds the exact totals and is
+    monotone non-increasing in scale (the two facts that make the
+    binary-search start exact-safe)."""
     rng = np.random.default_rng(5)
     c = rng.integers(-3000, 3000, (2, 63, bsp.TILE + 37)).astype(np.int32)
-    lb = np.asarray(bsp.lb_probe_pallas(jnp.asarray(c), interpret=True))
     zz = bs_ops.ZAGZIG[1:]
-    qv = bs_ops.QUANT_PSX[zz]
-    a = np.abs(np.asarray(c))
+    qv = bs_ops.QUANT_PSX[zz].astype(np.int64)
+    a = np.abs(np.asarray(c)).astype(np.int64)
+    bits_ps, _ = _xla_all_scales(jnp.asarray(c))
     prev = None
-    for i, sidx in enumerate(bsp.LB_PROBES):
-        sc = sidx + 1
-        d = (qv * sc)[None, :, None]
+    for s in range(1, 64):
+        d = (qv * s)[None, :, None]
         half = d >> 1
-        want = (3 * (a >= d - half) + 2 * (a >= 2 * d - half)
-                + (a >= 3 * d - half) + 2 * (a >= 4 * d - half)
-                + (a >= 5 * d - half)).sum(axis=(1, 2))
-        assert np.array_equal(lb[:, i], want), sidx
-        ac = bs_ops._ac_quant(jnp.asarray(c), jnp.asarray(d))
-        nzm = ac != 0
-        run = bs_ops._runs(nzm, axis=1)
-        bits = jnp.where(nzm,
-                         bs_ops.ac_bits_closed_form(run, jnp.abs(ac)), 0)
-        exact = np.asarray(bits.sum(axis=(1, 2)))
-        assert (lb[:, i] <= exact).all(), sidx
+        nz = (a >= d - half).astype(np.int64)
+        lb = (3 * nz + 2 * (a >= 2 * d - half)
+              + (a >= 3 * d - half) + 2 * (a >= 4 * d - half)
+              + (a >= 5 * d - half))
+        # Run-aware rung: nonzeros at scan position > 1 whose predecessor
+        # is zero have run >= 1 (>= 1 extra bit in every code family).
+        isolated = nz[:, 1:] * (1 - nz[:, :-1])
+        lb = lb.sum(axis=(1, 2)) + isolated.sum(axis=(1, 2))
+        assert (lb <= bits_ps[:, s - 1]).all(), s
         if prev is not None:
-            assert (lb[:, i] <= prev).all(), sidx  # monotone
-        prev = lb[:, i]
+            assert (lb <= prev).all(), s  # monotone
+        prev = lb
+
+
+def test_encode_frames_symbols_pallas_matches_xla(monkeypatch):
+    """The full pallas_sweep=True path (select kernel + emission) equals
+    the XLA sweep path in interpret mode."""
+    monkeypatch.setattr(bsp, "select_scale_pallas", functools.partial(
+        bsp.select_scale_pallas, interpret=True))
+    rng = np.random.default_rng(7)
+    B = 2
+    W = H = 32
+    nb = (W // 16) * (H // 16) * 6
+    coefs = rng.integers(-2000, 2000, (B, nb, 64)).astype(np.int32)
+    budgets = np.array([1800, 700], np.int32)
+    for codec in (bs_ops.BS_V2, bs_ops.BS_V3, bs_ops.BS_V3DC):
+        ox = bs_ops.encode_frames_symbols(
+            jnp.asarray(coefs), jnp.asarray(budgets), codec=codec,
+            pallas_sweep=False)
+        op = bs_ops.encode_frames_symbols(
+            jnp.asarray(coefs), jnp.asarray(budgets), codec=codec,
+            pallas_sweep=True)
+        for k in ("scale", "codes", "bits", "nz_count", "total_bits"):
+            assert np.array_equal(np.asarray(ox[k]), np.asarray(op[k])), \
+                (codec, k)
 
 
 def test_emit_pack_pallas_interpret(monkeypatch):
     """Fused emit+pack kernel == XLA emit + per-block packer, and the
     full fused api path == the blocks path (interpret mode)."""
-    import functools
-
-    import jax
-
     from psxavenc_tpu import api
-    from psxavenc_tpu.ops import bitpack
 
-    monkeypatch.setattr(bsp, "sweep_chunk_pallas", functools.partial(
-        bsp.sweep_chunk_pallas, interpret=True))
-    monkeypatch.setattr(bsp, "lb_probe_pallas", functools.partial(
-        bsp.lb_probe_pallas, interpret=True))
+    monkeypatch.setattr(bsp, "select_scale_pallas", functools.partial(
+        bsp.select_scale_pallas, interpret=True))
     monkeypatch.setattr(bsp, "emit_pack_pallas", functools.partial(
         bsp.emit_pack_pallas, interpret=True))
 
@@ -104,37 +160,3 @@ def test_emit_pack_pallas_interpret(monkeypatch):
         for k in ("scale", "words", "total_bits", "nz_count"):
             assert np.array_equal(np.asarray(blocks[k]),
                                   np.asarray(fused[k])), (codec, k)
-
-
-def test_sweep_chunk_thresholded_interpret():
-    """With per-frame thresholds: the first fitting scale is exact,
-    unfit scales report totals > thr (possibly partial), and scales
-    above the first fit are skipped with an over-threshold sentinel —
-    everything first-fit selection needs, nothing more."""
-    rng = np.random.default_rng(9)
-    # Two tiles so abandonment (a tile-granular decision) actually
-    # triggers: scales whose first-tile partial exceeds thr skip tile 2.
-    c = rng.integers(-3000, 3000, (2, 63, 2 * bsp.TILE)).astype(np.int32)
-    exact_b, exact_n = bsp.sweep_chunk_pallas(jnp.asarray(c), jnp.int32(0),
-                                              interpret=True)
-    exact_b = np.asarray(exact_b)
-    # Pick thresholds mid-range so some scales are abandoned per frame.
-    thr = np.array([int(exact_b[0, bsp.CHUNK // 2]),
-                    int(exact_b[1, 1])], np.int32)
-    got_b, got_n = bsp.sweep_chunk_pallas(jnp.asarray(c), jnp.int32(0),
-                                          jnp.asarray(thr), interpret=True)
-    got_b = np.asarray(got_b)
-    for f in range(2):
-        fit_seen = False
-        for i in range(bsp.CHUNK):
-            if fit_seen:
-                # Scales above the first fit are irrelevant to first-fit
-                # selection and report an over-threshold sentinel.
-                assert got_b[f, i] > thr[f], (f, i)
-            elif exact_b[f, i] <= thr[f]:
-                # The first fitting scale is exact.
-                assert got_b[f, i] == exact_b[f, i], (f, i)
-                fit_seen = True
-            else:
-                # Unfit scales report (possibly partial) totals > thr.
-                assert got_b[f, i] > thr[f], (f, i)
