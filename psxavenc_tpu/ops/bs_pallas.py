@@ -51,27 +51,40 @@ def ladder_lb(ca, d, half):
     |coefficients| at divisors ``d`` (63, 1).
 
     round-half-away: level(|c|) >= k iff |c| >= k*d - d//2
-    (mdec.c:434-439). Minimum Huffman cost by |level| class (best run for
-    each): 1->3, 2->5, 3->6, 4->8, 5+->9 bits, i.e. ladder weights
-    3/2/1/2/1; plus one run-aware bit for every nonzero whose
-    predecessor scan position is zero (its run is >= 1, and every AC code
-    family costs at least one extra bit at run >= 1 vs run 0).
+    (mdec.c:434-439). Two provable components, both derived from the AC
+    Huffman table (ac_bits_closed_form; validity fuzz-pinned in
+    tests/test_bs_pallas.py):
+
+    - class weights = run-0 code length by |level| class:
+      1->3, 2->5, 3->6, 4->8, 5..6->9, 7+->11 bits (rung weights
+      3/2/1/2/1/2);
+    - a run-aware bonus for every nonzero with r >= 1 zero predecessors:
+      min(class,3)-1 + min(r,3). Every code family's length at run r
+      exceeds its run-0 length by at least this much (checked for all
+      (run, |level|) pairs).
 
     Monotone non-increasing in s = d/q: each magnitude threshold
-    k*q*s - (q*s)//2 is non-decreasing in s, and when k elements leave
-    the nonzero set the ladder drops >= 3k while the isolated-nonzero
-    count rises at most 2k (one per surviving neighbor) minus those
-    leaving, so the total still falls. Scales where this bound exceeds
-    the fit threshold provably cannot fit (tests pin both properties).
+    k*q*s - (q*s)//2 is non-decreasing in s, so per-element classes only
+    fall. When an element with run re leaves the nonzero set, its own
+    terms drop by >= 3 + min(re,3) while exactly one surviving
+    neighbor's bonus can rise — by at most min(class,3) <= 3 from run 0,
+    or by <= min(re,3)+1 from run >= 1 — never more than the drop.
+    Scales where this bound exceeds the fit threshold provably cannot
+    fit (tests pin monotonicity and LB <= exact).
     """
     nzi = (ca >= d - half).astype(jnp.int32)
-    lb = (3 * nzi
-          + 2 * (ca >= 2 * d - half)
-          + (ca >= 3 * d - half) + 2 * (ca >= 4 * d - half)
-          + (ca >= 5 * d - half))
+    c2 = (ca >= 2 * d - half).astype(jnp.int32)
+    c3 = (ca >= 3 * d - half).astype(jnp.int32)
+    lb = (3 * nzi + 2 * c2 + c3 + 2 * (ca >= 4 * d - half)
+          + (ca >= 5 * d - half) + 2 * (ca >= 7 * d - half))
     pos = jax.lax.broadcasted_iota(jnp.int32, ca.shape, 0) + 1
-    prev_nz = jnp.where(pos > 1, pltpu.roll(nzi, 1, 0), 1)
-    return lb + nzi * (1 - prev_nz)
+    p1 = jnp.where(pos > 1, pltpu.roll(nzi, 1, 0), 1)
+    p2 = jnp.where(pos > 2, pltpu.roll(nzi, 2, 0), 1)
+    p3 = jnp.where(pos > 3, pltpu.roll(nzi, 3, 0), 1)
+    z1 = nzi * (1 - p1)           # run >= 1
+    z2 = z1 * (1 - p2)            # run >= 2
+    z3 = z2 * (1 - p3)            # run >= 3
+    return lb + z1 * (c2 + c3) + z1 + z2 + z3
 
 
 def _ladder_total(c_ref, q_col, s, nchunks):

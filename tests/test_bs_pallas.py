@@ -85,6 +85,33 @@ def test_ladder_lower_bound_properties():
     """The in-kernel ladder LB never exceeds the exact totals and is
     monotone non-increasing in scale (the two facts that make the
     binary-search start exact-safe)."""
+    # (a) per-(run, |level|) validity of the per-element bound against the
+    # exact closed-form code lengths: bits(r, a) >= w_lb(a) + bonus.
+    runs = np.arange(0, 64)
+    mags = np.arange(1, 600)
+    R, A = np.meshgrid(runs, mags, indexing="ij")
+    bits = np.asarray(bs_ops.ac_bits_closed_form(
+        jnp.asarray(R.astype(np.int32)), jnp.asarray(A.astype(np.int32))))
+    w_lb = (3 + 2 * (A >= 2) + (A >= 3) + 2 * (A >= 4) + (A >= 5)
+            + 2 * (A >= 7))
+    bonus = np.where(R >= 1, np.minimum(A, 3) - 1 + np.minimum(R, 3), 0)
+    assert (bits >= w_lb + bonus).all()
+
+    def ladder_np(a, d, half):
+        nz = (a >= d - half).astype(np.int64)
+        c2 = (a >= 2 * d - half).astype(np.int64)
+        c3 = (a >= 3 * d - half).astype(np.int64)
+        lb = (3 * nz + 2 * c2 + c3 + 2 * (a >= 4 * d - half)
+              + (a >= 5 * d - half) + 2 * (a >= 7 * d - half))
+        z1 = np.zeros_like(nz)
+        z1[:, 1:] = nz[:, 1:] * (1 - nz[:, :-1])
+        z2 = np.zeros_like(nz)
+        z2[:, 2:] = z1[:, 2:] * (1 - nz[:, :-2])
+        z3 = np.zeros_like(nz)
+        z3[:, 3:] = z2[:, 3:] * (1 - nz[:, :-3])
+        return (lb + z1 * (c2 + c3) + z1 + z2 + z3).sum(axis=(1, 2))
+
+    # (b) whole-frame LB <= exact totals and monotone in scale.
     rng = np.random.default_rng(5)
     c = rng.integers(-3000, 3000, (2, 63, bsp.TILE + 37)).astype(np.int32)
     zz = bs_ops.ZAGZIG[1:]
@@ -94,15 +121,7 @@ def test_ladder_lower_bound_properties():
     prev = None
     for s in range(1, 64):
         d = (qv * s)[None, :, None]
-        half = d >> 1
-        nz = (a >= d - half).astype(np.int64)
-        lb = (3 * nz + 2 * (a >= 2 * d - half)
-              + (a >= 3 * d - half) + 2 * (a >= 4 * d - half)
-              + (a >= 5 * d - half))
-        # Run-aware rung: nonzeros at scan position > 1 whose predecessor
-        # is zero have run >= 1 (>= 1 extra bit in every code family).
-        isolated = nz[:, 1:] * (1 - nz[:, :-1])
-        lb = lb.sum(axis=(1, 2)) + isolated.sum(axis=(1, 2))
+        lb = ladder_np(a, d, d >> 1)
         assert (lb <= bits_ps[:, s - 1]).all(), s
         if prev is not None:
             assert (lb <= prev).all(), s  # monotone
