@@ -1,22 +1,30 @@
-""".sbs container: fixed-size BS frames back to back (filefmt.c:633-663)."""
+""".sbs container: fixed-size BS frames back to back (filefmt.c:633-663).
+
+Frames encode in look-ahead device batches and write out as they are
+produced — O(batch) memory, shared with the .str muxer's frame feed, so
+both the whole-file and streaming ingest tiers route through the same
+code (the reference encodes one frame per ensure(0,1)/retire loop
+iteration; every frame gets the -a alignment as its budget).
+"""
 
 from ..models.bs_video import BsFrameEncoder
 from ..utils.progress import Progress
+from . import strf
 
 
 def encode_file_sbs(args, dec, output):
     enc = BsFrameEncoder(args.video_codec, dec.video_width,
                          dec.video_height)
-    # Reference loop: one frame per iteration while frames remain
-    # (ensure(0,1)); all budgets equal the -a alignment.
-    frames = []
-    while dec.ensure_av_data(0, 1):
-        frames.append(dec.video_window()[0])
-        dec.retire_av_data(0, 1)
+    source = strf._source_for(dec)
+    total = dec.video_frame_count
+    feed = strf._FrameFeed(enc, source, [args.alignment] * total, total)
 
     progress = Progress(args)
-    results = enc.encode_frames(frames, [args.alignment] * len(frames))
-    for j, (buffer, _) in enumerate(results):
+    for f in range(1, total + 1):
+        buffer, _ = feed.frame(f)
+        feed.evict_below(f + 1)
         output.write(buffer.tobytes())
-        progress.print_sbs(j + 1, enc.quant_scale_sum, args.str_fps_num,
+        progress.print_sbs(f, feed.quant_scale_sum(f), args.str_fps_num,
                            args.str_fps_den)
+    if hasattr(dec, "close"):
+        dec.close()

@@ -5,12 +5,19 @@ encode_sector_str (mdec.c:757-836).
 
 Structure: a first pass simulates the reference's muxing loop (windowing,
 interleave pattern including the audio-runs-dry video_sectors_per_block
-bump, the rational frame-pacing accumulator) to derive the full schedule;
-audio sectors are then encoded in one batched device call and video frames
-on demand; a persistent sector buffer reproduces the reference's
-never-cleared stack buffer so untouched byte regions carry previous-sector
-bytes exactly like the original (e.g. the unwritten ECC area of strcd video
-sectors and the 2336-byte format's trailing bytes).
+bump, the rational frame-pacing accumulator) to derive the full schedule
+— it needs only the A/V totals, no data. The writer then walks the
+schedule incrementally: video frames encode in look-ahead device batches
+and audio sectors in chunked batched device calls (ADPCM state threading
+across chunks), both evicted as soon as their bytes are written — memory
+stays bounded by the batch size, not the file length. The data source is
+either the whole-file Decoder (adapted) or a StreamingDecoder pulling
+from the native packet-at-a-time ingest, so long inputs encode in O(1)
+memory like the reference's sliding window (decoding.c:510-559). A
+persistent sector buffer reproduces the reference's never-cleared stack
+buffer so untouched byte regions carry previous-sector bytes exactly like
+the original (e.g. the unwritten ECC area of strcd video sectors and the
+2336-byte format's trailing bytes).
 """
 
 import math
@@ -26,6 +33,12 @@ from . import xa as xamod
 
 STR_MAGIC = 0x0160
 
+# Audio sectors per batched device call. Also bounds the streaming tier's
+# video FIFO depth: filling one audio chunk decodes ~chunk-seconds of
+# interleaved video ahead (64 sectors ~= 1.7 s at 37800 Hz stereo).
+AUDIO_CHUNK_SECTORS = 64
+VIDEO_BATCH_FRAMES = 32     # frame look-ahead per batched device call
+
 
 def _video_banner(args, interleave, vspb, frame_size):
     if not (args.flags & ca.FLAG_QUIET):
@@ -39,7 +52,8 @@ def _schedule(args, dec, asps, interleave, vspb0, base_overflow,
               overflow_den, frames_needed):
     """Dry-run of the muxing loop (filefmt.c:450-516 + mdec.c:768-780).
 
-    Returns a list of sector descriptors and the frame budget sequence.
+    Needs only the A/V totals; returns a list of sector descriptors and
+    the frame budget sequence.
     """
     ch = args.audio_channels
     avail_a = dec.audio_sample_count
@@ -102,8 +116,120 @@ def _schedule(args, dec, asps, interleave, vspb0, base_overflow,
     return sectors, audio_lengths, frame_budgets
 
 
-def _write_video_sector(args, buffer, desc, frame_bufs, frame_infos,
-                        enc):
+class _WholeFileSource:
+    """Adapts a fully-decoded Decoder to the incremental source API."""
+
+    def __init__(self, dec):
+        self._audio = dec.audio_window() if dec.has_audio \
+            else np.zeros(0, np.int16)
+        self._frames = dec.video_window()
+        self._apos = 0
+        self._fpos = 0
+
+    def take_audio(self, n_values):
+        out = self._audio[self._apos:self._apos + n_values]
+        self._apos += n_values
+        return out
+
+    def take_frames(self, k):
+        out = self._frames[self._fpos:self._fpos + k]
+        self._fpos += k
+        assert len(out) == k
+        return out
+
+
+def _source_for(dec):
+    return dec if hasattr(dec, "take_frames") else _WholeFileSource(dec)
+
+
+class _AudioSectorFeed:
+    """Chunked XA audio-sector encoder: batches of AUDIO_CHUNK_SECTORS
+    sectors per device call with exact ADPCM state threading across
+    chunks (the reference's persistent psx_audio_encoder_state_t)."""
+
+    def __init__(self, args, source, audio_lengths):
+        self.args = args
+        self.source = source
+        self.lengths = audio_lengths
+        ch = args.audio_channels
+        self.ch = ch
+        self.prev1 = np.zeros(ch, np.int32)
+        self.prev2 = np.zeros(ch, np.int32)
+        self.next_idx = 0
+        self.cache = {}
+
+    def sector(self, idx):
+        while idx >= self.next_idx:
+            hi = min(self.next_idx + AUDIO_CHUNK_SECTORS, len(self.lengths))
+            lens = self.lengths[self.next_idx:hi]
+            pcm = self.source.take_audio(int(sum(lens)) * self.ch)
+            xs = xamod.XaAudioSectors(self.args, pcm, lens, self.prev1,
+                                      self.prev2)
+            self.prev1, self.prev2 = xs.final_state
+            for i in range(len(lens)):
+                self.cache[self.next_idx + i] = (xs, i)
+            self.next_idx = hi
+        return self.cache[idx]
+
+    def evict(self, idx):
+        self.cache.pop(idx, None)
+
+
+class _FrameFeed:
+    """Look-ahead batched frame encoder: encodes VIDEO_BATCH_FRAMES
+    budgeted frames per device call, evicting written frames. Source
+    frame k-1 feeds encoded frame k, clamping at EOF (the reference's
+    window keeps returning the final frame, decoding.c:524-531)."""
+
+    def __init__(self, enc, source, frame_budgets, total_src_frames):
+        self.enc = enc
+        self.source = source
+        self.budgets = frame_budgets
+        self.total_src = total_src_frames
+        self.pulled = 0
+        self.pending = []       # pulled source frames not yet consumed
+        self.last_src = None
+        self.next_frame = 1     # next 1-based frame number to encode
+        self.cache = {}
+        self.scale_prefix = [0]  # prefix sums of per-frame quant scales
+
+    def frame(self, f):
+        while f >= self.next_frame:
+            hi = min(self.next_frame + VIDEO_BATCH_FRAMES - 1,
+                     len(self.budgets))
+            ids = range(self.next_frame, hi + 1)
+            need = min(hi, self.total_src) - self.pulled
+            if need > 0:
+                got = self.source.take_frames(need)
+                self.pending.extend(got)
+                self.pulled += need
+            sources = []
+            for k in ids:
+                if k <= self.total_src:
+                    self.last_src = self.pending.pop(0)
+                sources.append(self.last_src)
+            results = self.enc.encode_frames(
+                sources, [self.budgets[k - 1] for k in ids])
+            for k, r in zip(ids, results):
+                self.cache[k] = r
+                self.scale_prefix.append(self.scale_prefix[-1]
+                                         + r[1]["quant_scale"])
+            self.next_frame = hi + 1
+        return self.cache[f]
+
+    def evict_below(self, f):
+        for k in list(self.cache):
+            if k < f:
+                del self.cache[k]
+
+    def quant_scale_sum(self, frames_started):
+        """Running sum over the first ``frames_started`` frames — what the
+        reference's encoder state holds at this point of the mux loop
+        (filefmt.c:507-515 prints quant_scale_sum / frame_index)."""
+        return self.scale_prefix[frames_started]
+
+
+def _write_video_sector(args, buffer, desc, fb, info, enc):
     """init_sector_buffer_video (filefmt.c:73-91) + encode_sector_str
     header/payload placement (mdec.c:782-835)."""
     fmt = args.format
@@ -124,8 +250,6 @@ def _write_video_sector(args, buffer, desc, frame_bufs, frame_infos,
         buffer[sub + 3] = 0
         buffer[sub + 4:sub + 8] = buffer[sub:sub + 4]
 
-    fb = frame_bufs[desc["frame"] - 1]
-    info = frame_infos[desc["frame"] - 1]
     header = np.zeros(32, dtype=np.uint8)
     header[0x00] = STR_MAGIC & 0xFF
     header[0x01] = STR_MAGIC >> 8
@@ -157,9 +281,41 @@ def _write_video_sector(args, buffer, desc, frame_bufs, frame_infos,
         native.calc_checksums(buffer[:2352], native.SECTOR_MODE2_FORM1)
 
 
+def _mux(args, dec, output, sectors, audio_lengths, frame_budgets,
+         sector_size, buffer_size):
+    """Incremental schedule writer shared by str/strcd and strv."""
+    enc = BsFrameEncoder(args.video_codec, dec.video_width,
+                         dec.video_height)
+    source = _source_for(dec)
+    frames = _FrameFeed(enc, source, frame_budgets, dec.video_frame_count)
+    audio = _AudioSectorFeed(args, source, audio_lengths)
+
+    buffer = np.zeros(buffer_size, dtype=np.uint8)
+    progress = Progress(args)
+    frame_count = 0
+    for desc in sectors:
+        if desc["video"]:
+            frame_count = desc["frame"]
+            fb, info = frames.frame(frame_count)
+            _write_video_sector(args, buffer, desc, fb, info, enc)
+            if desc["chunk_index"] == desc["chunk_count"] - 1:
+                frames.evict_below(frame_count + 1)
+        elif desc["length"] > 0:
+            xs, i = audio.sector(desc["audio_index"])
+            xs.write_sector(buffer, i, desc["lba"], desc["eoi"])
+            audio.evict(desc["audio_index"])
+        # length == 0: the reference writes the untouched buffer
+        # (filefmt.c:482-494 with an empty encode), i.e. previous bytes.
+        output.write(buffer[:sector_size].tobytes())
+        progress.print_str(frame_count, desc["lba"],
+                           frames.quant_scale_sum(frame_count),
+                           args.str_fps_num, args.str_fps_den)
+    if hasattr(dec, "close"):
+        dec.close()
+
+
 def encode_file_str(args, dec, output):
     """str/strcd (filefmt.c:391-520)."""
-    ch = args.audio_channels
     sector_size = xamod.xa_sector_size(args)
     if dec.has_audio:
         interleave = xamod.xa_sector_interleave(args) * args.str_cd_speed
@@ -176,42 +332,11 @@ def encode_file_str(args, dec, output):
     _video_banner(args, interleave, vspb, frame_size)
     frames_needed = max(2, math.ceil(vspb / frame_size))
 
-    pcm = dec.audio_window() if dec.has_audio else np.zeros(0, np.int16)
     sectors, audio_lengths, frame_budgets = _schedule(
         args, dec, asps, interleave, vspb, base_overflow, overflow_den,
         frames_needed)
-
-    audio = xamod.XaAudioSectors(args, pcm, audio_lengths)
-    enc = BsFrameEncoder(args.video_codec, dec.video_width,
-                         dec.video_height)
-    frames = dec.video_window()
-
-    # Frame k consumes source frame k (clamped at EOF); all budgets are
-    # known from the pacing accumulator, so the whole file's frames encode
-    # in batched device calls.
-    sources = [frames[min(k, len(frames) - 1)]
-               for k in range(len(frame_budgets))]
-    results = enc.encode_frames(sources, frame_budgets)
-    frame_bufs = [r[0] for r in results]
-    frame_infos = [r[1] for r in results]
-
-    buffer = np.zeros(2352, dtype=np.uint8)
-    progress = Progress(args)
-    frame_count = 0
-    for desc in sectors:
-        if desc["video"]:
-            frame_count = desc["frame"]
-            _write_video_sector(args, buffer, desc, frame_bufs,
-                                frame_infos, enc)
-        elif desc["length"] > 0:
-            audio.write_sector(buffer, desc["audio_index"], desc["lba"],
-                               desc["eoi"])
-        # length == 0: the reference writes the untouched buffer
-        # (filefmt.c:482-494 with an empty encode), i.e. previous bytes.
-        output.write(buffer[:sector_size].tobytes())
-        progress.print_str(frame_count, desc["lba"],
-                           enc.quant_scale_sum, args.str_fps_num,
-                           args.str_fps_den)
+    _mux(args, dec, output, sectors, audio_lengths, frame_budgets,
+         sector_size, 2352)
 
 
 def encode_file_strspu(args, dec, output):
@@ -231,21 +356,4 @@ def encode_file_strspu(args, dec, output):
     sectors, _, frame_budgets = _schedule(
         args, dec, asps, interleave, vspb, base_overflow, overflow_den,
         frames_needed)
-
-    enc = BsFrameEncoder(args.video_codec, dec.video_width,
-                         dec.video_height)
-    frames = dec.video_window()
-    sources = [frames[min(k, len(frames) - 1)]
-               for k in range(len(frame_budgets))]
-    results = enc.encode_frames(sources, frame_budgets)
-    frame_bufs = [r[0] for r in results]
-    frame_infos = [r[1] for r in results]
-    buffer = np.zeros(2048, dtype=np.uint8)
-    progress = Progress(args)
-    for desc in sectors:
-        _write_video_sector(args, buffer, desc, frame_bufs, frame_infos,
-                            enc)
-        output.write(buffer[:2048].tobytes())
-        progress.print_str(desc["frame"], desc["lba"],
-                           enc.quant_scale_sum, args.str_fps_num,
-                           args.str_fps_den)
+    _mux(args, dec, output, sectors, [], frame_budgets, 2048, 2048)

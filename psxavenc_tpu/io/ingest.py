@@ -98,6 +98,124 @@ class Decoder:
         self.video_pos += video_frames
 
 
+class StreamingDecoder:
+    """O(1)-memory ingest for long video encodes (str/strcd/strv/sbs).
+
+    Mirrors the reference's sliding-window decoder (decoding.c:510-559
+    never holds more than ~1 sector of audio + ``frames_needed`` frames)
+    where the default tier decodes everything up front. Two passes over
+    the input through the native extension:
+
+    1. a count-only decode (identical loop, stores nothing) giving the
+       exact post-resample/retime totals the muxers schedule from;
+    2. a packet-at-a-time streaming decode consumed incrementally via
+       :meth:`take_audio` / :meth:`take_frames` while sectors are written.
+
+    The second pass runs quiet (validation messages printed once by the
+    first). Only the video muxers consume this; the audio formats keep
+    the whole-file tier (their inputs are small).
+    """
+
+    def __init__(self, args, flags, path):
+        from ..native import ingest_ext
+
+        self._kwargs = dict(
+            flags=flags, audio_frequency=args.audio_frequency,
+            audio_channels=args.audio_channels,
+            video_width=args.video_width, video_height=args.video_height,
+            ignore_aspect=self._ignore_aspect(args),
+            fps_num=args.str_fps_num, fps_den=args.str_fps_den,
+            quiet=_quiet(args), swr_options=args.swresample_options,
+            sws_options=args.swscale_options)
+        self._path = path
+        try:
+            r = ingest_ext.ingest(path, count_only=True, **self._kwargs)
+        except OSError:
+            raise OpenError()
+        self._audio_total = r["audio_count"]
+        self._video_total = r["video_frame_count"]
+        self.video_width = r["video_width"]
+        self.video_height = r["video_height"]
+        self.has_audio = r["has_audio"]
+        self.has_video = r["has_video"]
+        self.video_fps_num = args.str_fps_num
+        self.video_fps_den = args.str_fps_den
+        self.channels = args.audio_channels
+        self.sample_rate = args.audio_frequency
+        self.loop_point_ms = -1
+        self.loop_meta_ms = r["loop_meta_ms"]
+        self.n_chapters = r["n_chapters"]
+        self.loop_chapter_ms = r["chapter0_ms"] if r["n_chapters"] else None
+        if r["is_wav"] and r["has_audio"]:
+            try:
+                w = wavmod.read_wav(path)
+                if w.loop_start_offset >= 0:
+                    pts = w.loop_start_offset / w.sample_rate
+                    self.loop_point_ms = int(round(pts * 1000.0))
+            except Exception:  # noqa: BLE001 — smpl probe only
+                pass
+        self._stream = None
+        # instrumentation: high-water marks (bounded-memory assertions)
+        self.peak_buffered_frames = 0
+        self.peak_buffered_audio = 0
+
+    @staticmethod
+    def _ignore_aspect(args):
+        from ..cli_args import FLAG_BS_IGNORE_ASPECT
+
+        return bool(args.flags & FLAG_BS_IGNORE_ASPECT)
+
+    # The muxers schedule from totals (the whole-file Decoder's counts are
+    # also totals at schedule time — nothing has been retired yet).
+    @property
+    def audio_sample_count(self):
+        return self._audio_total
+
+    @property
+    def video_frame_count(self):
+        return self._video_total
+
+    def _ensure_stream(self):
+        if self._stream is None:
+            from ..native import ingest_ext
+
+            kw = dict(self._kwargs)
+            kw["quiet"] = True  # messages already printed by pass 1
+            self._stream = ingest_ext.IngestStream(self._path, **kw)
+        return self._stream
+
+    def _note_peaks(self):
+        a, v = self._stream.buffered()
+        self.peak_buffered_audio = max(self.peak_buffered_audio, a)
+        self.peak_buffered_frames = max(self.peak_buffered_frames, v)
+
+    def take_audio(self, n_values):
+        """Exactly ``n_values`` interleaved s16 samples (zero-padded past
+        EOF; the schedules never over-request)."""
+        st = self._ensure_stream()
+        st.fill(min_audio_values=n_values)
+        self._note_peaks()
+        got = st.take_audio(n_values)
+        if len(got) < n_values:
+            got = np.concatenate(
+                [got, np.zeros(n_values - len(got), np.int16)])
+        return got
+
+    def take_frames(self, k):
+        """Exactly ``k`` decoded NV21 frames as (k, frame_bytes) uint8."""
+        st = self._ensure_stream()
+        st.fill(min_video_frames=k)
+        self._note_peaks()
+        out = st.take_video(k)
+        assert len(out) == k, "schedule over-requested source frames"
+        return out
+
+    def close(self):
+        if self._stream is not None:
+            self._stream.close()
+            self._stream = None
+
+
 def _q15_mix(samples, matrix):
     """swresample's s16 rematrix: Q15 integer coefficients with
     round-half-up accumulation (out = (sum(in*q15) + 16384) >> 15)."""
@@ -523,6 +641,51 @@ def _open_native_ingest(args, flags, path):
     return dec
 
 
+# Above this estimated decoded size, "auto" switches to streaming ingest.
+_STREAM_AUTO_BYTES = 512 << 20
+
+
+def _streaming_wanted(args, flags, path):
+    """Decide the ingest tier for video formats: bounded-memory streaming
+    (StreamingDecoder) vs whole-file. PSXAVENC_STREAMING=1 forces it,
+    =0 disables it; the default ("auto") streams when the container
+    duration estimates the decoded A/V above ~512 MB (the whole-file tier
+    would hold all of it in RAM; the reference never holds more than a
+    sliding window, decoding.c:510-559)."""
+    from .. import cli_args as ca
+    from ..native import ingest_ext
+
+    if getattr(args, "format", None) not in (
+            ca.FORMAT_STR, ca.FORMAT_STRCD, ca.FORMAT_STRV, ca.FORMAT_SBS):
+        return False
+    mode = os.environ.get("PSXAVENC_STREAMING", "auto").lower()
+    if mode in ("0", "off", "no"):
+        return False
+    if ingest_ext.load() is None:
+        return False
+    if mode in ("1", "on", "yes", "force"):
+        return True
+    # auto: size estimate from the container duration (no decode).
+    p = ingest_ext.probe(
+        path, flags=flags, audio_frequency=args.audio_frequency,
+        audio_channels=args.audio_channels, video_width=args.video_width,
+        video_height=args.video_height,
+        ignore_aspect=False, fps_num=args.str_fps_num,
+        fps_den=args.str_fps_den, quiet=True,
+        swr_options=args.swresample_options,
+        sws_options=args.swscale_options)
+    if p is None or p["duration_us"] < 0:
+        return False
+    secs = p["duration_us"] / 1e6
+    est = 0.0
+    if p["has_video"]:
+        est += secs * (args.str_fps_num / args.str_fps_den) * \
+            (p["video_width"] * p["video_height"] * 3 // 2)
+    if p["has_audio"]:
+        est += secs * args.audio_frequency * args.audio_channels * 2
+    return est > _STREAM_AUTO_BYTES
+
+
 def open_av_data(args, flags):
     """Build a fully-decoded Decoder for the input file (decoding.c:131).
 
@@ -543,6 +706,8 @@ def open_av_data(args, flags):
     raw_hint = ext in (".pcm", ".s16", ".nv21", ".yuv")
 
     if not raw_hint:
+        if _streaming_wanted(args, flags, path):
+            return StreamingDecoder(args, flags, path)
         native = _open_native_ingest(args, flags, path)
         if native is not None:
             return native
