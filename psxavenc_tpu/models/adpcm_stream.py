@@ -7,6 +7,8 @@ units are gathered into a (B, T, 28) tensor, and a single jitted
 (and, in the batch API, over many independent streams).
 """
 
+import functools
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -57,13 +59,18 @@ def _tpu_available():
 
 
 def _unpack_words(words, shift_range):
-    """Pallas kernel word output -> (B, T, 28) sample values."""
-    vbits = 4 if shift_range == 12 else 8
-    per = 32 // vbits
-    shifts = np.arange(per, dtype=np.int64) * vbits
-    vals = (words[..., :, None] >> shifts) & ((1 << vbits) - 1)
-    return vals.reshape(words.shape[0], words.shape[1], -1)[
-        ..., :SAMPLES_PER_UNIT]
+    """Pallas kernel word output -> (B, T, 28) sample values (byte-view
+    based: the D2H arrays are MBs on long files, int64 shift math was a
+    measurable slice of the CLI wall-clock)."""
+    B, T, W = words.shape
+    by = np.ascontiguousarray(words.astype(np.uint32)).view(np.uint8)
+    by = by.reshape(B, T, W * 4)
+    if shift_range != 12:
+        return by[..., :SAMPLES_PER_UNIT]
+    out = np.empty((B, T, 2 * W * 4), np.uint8)
+    out[..., 0::2] = by & 0x0F
+    out[..., 1::2] = by >> 4
+    return out[..., :SAMPLES_PER_UNIT]
 
 
 def _pallas_file_scan(units, lims, p1, p2, *, filter_count, shift_range,
@@ -107,10 +114,151 @@ def _pallas_file_scan(units, lims, p1, p2, *, filter_count, shift_range,
 
 
 _pallas_scan_jit = None
+_pallas_pcm_jit = None
+
+
+def _time_buckets(T):
+    """Pad/segment policy shared by the Pallas shims: pow2 up to one
+    segment, then whole segments (pow2 count)."""
+    seg = _PALLAS_SEG_UNITS
+    if T <= seg:
+        tpad = max(64, 1 << (T - 1).bit_length())
+        return tpad, tpad
+    nseg = -(-T // seg)
+    nseg = 1 << (nseg - 1).bit_length()
+    return nseg * seg, seg
+
+
+def _encode_units_pallas_from_pcm(pcm, offsets, limits, prev1, prev2,
+                                  filter_count, shift_range):
+    """Pallas encode with DEVICE-side unit building: uploads int16 PCM
+    (2 B/sample, half the int32 unit tensor) plus int8 limits, and for
+    the uniform 28-grid (whole-file XA/SPU layouts) no offsets at all —
+    the tunnel-bound single-file CLI path's H2D drops ~2.3x. Unit gather
+    (or reshape), the 128-lane pad, the segment scan, and the uint8
+    header narrowing all run in one device program."""
+    global _pallas_pcm_jit
+    import jax
+    import jax.numpy as jnpp
+
+    from ..ops import adpcm_pallas as pk
+
+    if _pallas_pcm_jit is None:
+        @functools.partial(
+            jax.jit,
+            static_argnames=("filter_count", "shift_range", "lanes",
+                             "seg", "uniform", "uniform_lim"))
+        def run(pcm16, offs, lim8, scalars, *, filter_count, shift_range,
+                lanes, seg, uniform, uniform_lim):
+            # scalars: (B, 4) int32 = [prev1, prev2, t_last, avail] — one
+            # bundled upload instead of four latency-bound small ones.
+            p1, p2 = scalars[:, 0], scalars[:, 1]
+            t_last, avail = scalars[:, 2], scalars[:, 3]
+            B = scalars.shape[0]
+            pcm32 = pcm16.astype(jnpp.int32)
+            if uniform:
+                tpad = pcm16.shape[1] // SAMPLES_PER_UNIT
+                units = pcm32.reshape(B, tpad, SAMPLES_PER_UNIT)
+            else:
+                tpad = offs.shape[1]
+                idx = jnpp.clip(
+                    offs[:, :, None]
+                    + jnpp.arange(SAMPLES_PER_UNIT, dtype=jnpp.int32),
+                    0, pcm32.shape[1] - 1)
+                units = jnpp.take_along_axis(
+                    pcm32, idx.reshape(B, -1), axis=1).reshape(
+                    B, tpad, SAMPLES_PER_UNIT)
+            if uniform_lim:
+                # The whole-file xa/spu/vag layouts: limit(t) is the ramp
+                # clip(avail - 28t) — no limits upload at all.
+                t_iota = jnpp.arange(tpad, dtype=jnpp.int32)[None, :]
+                lim = jnpp.clip(
+                    avail[:, None] - SAMPLES_PER_UNIT * t_iota, 0,
+                    SAMPLES_PER_UNIT)
+            else:
+                lim = lim8.astype(jnpp.int32)
+            h, w, s1, s2 = _pallas_file_scan(
+                units, lim, p1, p2, filter_count=filter_count,
+                shift_range=shift_range, lanes=lanes, seg=seg)
+            # Final decoder state after the last REAL unit (bucket pad
+            # units still mutate state).
+            f1 = jnpp.take_along_axis(s1, t_last[:, None], axis=1)[:, 0]
+            f2 = jnpp.take_along_axis(s2, t_last[:, None], axis=1)[:, 0]
+            # ONE fused D2H payload (per-fetch tunnel latency is 30-400ms
+            # — two fetches dominated the CLI wall-clock). 4-bit: 28
+            # nibbles use 14 of word 0..3's 16 bytes; the header rides
+            # word 3's byte 2 and the states append as one extra unit
+            # column. 8-bit: header as an extra word.
+            if shift_range == 12:
+                w = w.at[:, :, 3].set(w[:, :, 3]
+                                      | (h.astype(jnpp.int32) << 16))
+            else:
+                w = jnpp.concatenate([w, h[:, :, None]], axis=2)
+            state = jnpp.zeros((B, 1, w.shape[2]), jnpp.int32)
+            state = state.at[:, 0, 0].set(f1).at[:, 0, 1].set(f2)
+            return jnpp.concatenate([w, state], axis=1)
+
+        _pallas_pcm_jit = run
+
+    B, T = limits.shape
+    N = pcm.shape[1]
+    Bp = -(-B // 128) * 128
+    tpad, seg_use = _time_buckets(T)
+    lim_clip = np.clip(limits, 0, SAMPLES_PER_UNIT).astype(np.int32)
+    off64 = np.asarray(offsets, np.int64)
+    uniform = bool((off64 == np.arange(T, dtype=np.int64)
+                    * SAMPLES_PER_UNIT).all())
+    # Per-row ramp detection: limit(t) == clip(avail - 28t)?
+    t_iota = np.arange(T, dtype=np.int64) * SAMPLES_PER_UNIT
+    avail = lim_clip.astype(np.int64)[:, -1] + t_iota[-1]
+    for b in range(B):
+        lt = np.nonzero(lim_clip[b] < SAMPLES_PER_UNIT)[0]
+        if len(lt):
+            avail[b] = t_iota[lt[0]] + lim_clip[b, lt[0]]
+    uniform_lim = bool(
+        (lim_clip == np.clip(avail[:, None] - t_iota[None, :], 0,
+                             SAMPLES_PER_UNIT)).all())
+    if uniform:
+        npad = tpad * SAMPLES_PER_UNIT
+        pcmp = np.zeros((B, npad), np.int16)
+        pcmp[:, :min(N, npad)] = pcm[:, :npad]
+        offs = np.zeros((B, 1), np.int32)  # unused placeholder
+    else:
+        npad = max(64, 1 << (max(N, 1) - 1).bit_length())
+        pcmp = np.zeros((B, npad), np.int16)
+        pcmp[:, :N] = pcm
+        offs = np.zeros((B, tpad), np.int32)
+        offs[:, :T] = np.clip(off64, 0, max(N - 1, 0))
+    if uniform_lim:
+        lim8 = np.zeros((B, 1), np.int8)  # unused placeholder
+    else:
+        lim8 = np.zeros((B, tpad), np.int8)
+        lim8[:, :T] = lim_clip
+    scalars = np.stack([np.asarray(prev1, np.int64),
+                        np.asarray(prev2, np.int64),
+                        np.full(B, T - 1, np.int64),
+                        avail], axis=1).astype(np.int32)
+    fused = np.asarray(_pallas_pcm_jit(
+        jnp.asarray(pcmp), jnp.asarray(offs), jnp.asarray(lim8),
+        jnp.asarray(scalars),
+        filter_count=filter_count, shift_range=shift_range, lanes=Bp,
+        seg=seg_use, uniform=uniform, uniform_lim=uniform_lim))
+    w = fused[:, :-1]
+    s1 = fused[:, -1, 0].copy()
+    s2 = fused[:, -1, 1].copy()
+    if shift_range == 12:
+        headers = ((fused[:, :T, 3] >> 16) & 0xFF).astype(np.uint8)
+        w = w[:, :T].copy()
+        w[:, :, 3] &= 0xFFFF
+    else:
+        headers = (fused[:, :T, -1] & 0xFF).astype(np.uint8)
+        w = w[:, :T, :-1]
+    values = _unpack_words(w, shift_range)
+    return (headers, values.astype(np.uint8), s1, s2)
 
 
 def _encode_units_pallas_padded(units, lim, prev1, prev2, filter_count,
-                                shift_range):
+                                shift_range, full_state=False):
     """Run ops.adpcm_pallas on < 128 streams: the fused kernel is ~2.3x
     the XLA scan per unit step, and the CLI's 1-2 channel streams
     otherwise never reach it (reference inner loop: adpcm.c:142-191).
@@ -152,8 +300,26 @@ def _encode_units_pallas_padded(units, lim, prev1, prev2, filter_count,
     values = _unpack_words(np.asarray(w), shift_range)[:, :T]
     s1 = np.asarray(s1)
     s2 = np.asarray(s2)
+    if full_state:
+        return (headers.astype(np.uint8), values.astype(np.uint8),
+                s1[:, :T].copy(), s2[:, :T].copy())
     return (headers.astype(np.uint8), values.astype(np.uint8),
             s1[:, T - 1].copy(), s2[:, T - 1].copy())
+
+
+def gather_units(channel_samples, offsets, limits):
+    """Host-side unit gather: (B, N) samples + (B, T) offsets/limits ->
+    ((B, T, 28) int32 units, (B, T) int32 clipped limits)."""
+    channel_samples = np.asarray(channel_samples)
+    B, N = channel_samples.shape
+    T = offsets.shape[1]
+    idx = offsets[..., None] + np.arange(SAMPLES_PER_UNIT, dtype=np.int64)
+    idx = np.clip(idx, 0, max(N - 1, 0))
+    units = np.take_along_axis(
+        channel_samples.astype(np.int32),
+        idx.reshape(B, -1), axis=1).reshape(B, T, SAMPLES_PER_UNIT)
+    lim = np.clip(limits, -(1 << 30), SAMPLES_PER_UNIT).astype(np.int32)
+    return units, lim
 
 
 def encode_unit_streams(channel_samples, offsets, limits, filter_count,
@@ -174,19 +340,45 @@ def encode_unit_streams(channel_samples, offsets, limits, filter_count,
       padding cannot affect it: per-unit states are captured inside the
       scan and sliced at T-1).
     """
-    channel_samples = np.asarray(channel_samples)
-    B, N = channel_samples.shape
     T = offsets.shape[1]
+    channel_samples = np.asarray(channel_samples)
+    B = channel_samples.shape[0]
     if T == 0:
         return (np.zeros((B, 0), np.uint8),
                 np.zeros((B, 0, SAMPLES_PER_UNIT), np.uint8),
                 np.zeros(B, np.int32), np.zeros(B, np.int32))
-    idx = offsets[..., None] + np.arange(SAMPLES_PER_UNIT, dtype=np.int64)
-    idx = np.clip(idx, 0, max(N - 1, 0))
-    units = np.take_along_axis(
-        channel_samples.astype(np.int32),
-        idx.reshape(B, -1), axis=1).reshape(B, T, SAMPLES_PER_UNIT)
-    lim = np.clip(limits, -(1 << 30), SAMPLES_PER_UNIT).astype(np.int32)
+    if use_pallas is None:
+        use_pallas = T >= _PALLAS_MIN_UNITS and _tpu_available()
+    if use_pallas:
+        # Device-side unit build: uploads int16 PCM instead of the 4x
+        # larger int32 unit tensor (the single-file CLI path is bound by
+        # the host<->device link, not compute).
+        if prev1 is None:
+            prev1 = np.zeros(B, np.int32)
+        if prev2 is None:
+            prev2 = np.zeros(B, np.int32)
+        return _encode_units_pallas_from_pcm(
+            channel_samples.astype(np.int16), offsets, limits,
+            np.asarray(prev1, np.int32), np.asarray(prev2, np.int32),
+            filter_count, shift_range)
+    units, lim = gather_units(channel_samples, offsets, limits)
+    return encode_prepared_units(units, lim, filter_count, shift_range,
+                                 prev1=prev1, prev2=prev2,
+                                 use_pallas=False)
+
+
+def encode_prepared_units(units, lim, filter_count, shift_range,
+                          prev1=None, prev2=None, use_pallas=None,
+                          state_t=None):
+    """Encode pre-gathered (B, T, 28) units (see encode_unit_streams; the
+    batch runner concatenates many files' streams on B before calling).
+
+    ``state_t``: optional (B,) per-row unit index whose post-state to
+    return as the final decoder state (rows padded with masked units
+    still mutate state — an all-zero unit encodes; adpcm.c:142-191 runs
+    regardless). Default: the last column.
+    """
+    B, T = lim.shape
 
     if prev1 is None:
         prev1 = np.zeros(B, np.int32)
@@ -196,9 +388,14 @@ def encode_unit_streams(channel_samples, offsets, limits, filter_count,
     if use_pallas is None:
         use_pallas = T >= _PALLAS_MIN_UNITS and _tpu_available()
     if use_pallas:
-        return _encode_units_pallas_padded(
+        h, v, s1, s2 = _encode_units_pallas_padded(
             units, lim, np.asarray(prev1, np.int32),
-            np.asarray(prev2, np.int32), filter_count, shift_range)
+            np.asarray(prev2, np.int32), filter_count, shift_range,
+            full_state=state_t is not None)
+        if state_t is not None:
+            rows = np.arange(B)
+            s1, s2 = s1[rows, state_t], s2[rows, state_t]
+        return h, v, s1, s2
 
     # Bucket T to the next power of two so different stream lengths share
     # compiled programs; padding units are fully masked (limit 0) and their
@@ -219,8 +416,12 @@ def encode_unit_streams(channel_samples, offsets, limits, filter_count,
     nibbles = np.asarray(nibbles)[:, :T]
     s1 = np.asarray(s1)
     s2 = np.asarray(s2)
-    return (headers.astype(np.uint8), nibbles.astype(np.uint8),
-            s1[:, T - 1], s2[:, T - 1])
+    if state_t is None:
+        f1, f2 = s1[:, T - 1], s2[:, T - 1]
+    else:
+        rows = np.arange(B)
+        f1, f2 = s1[rows, state_t], s2[rows, state_t]
+    return (headers.astype(np.uint8), nibbles.astype(np.uint8), f1, f2)
 
 
 def pack_spu_blocks(headers, nibbles, flags=None):
