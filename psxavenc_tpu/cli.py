@@ -111,12 +111,16 @@ def main(argv=None):
                 print(f"Profile written to {profile_dir}", file=sys.stderr)
 
 
-def _dispatch(args, dec, output):
+def _dispatch(args, dec, output, unit_encoder=None, frame_results=None):
+    """Route to the container muxer. ``unit_encoder``/``frame_results``
+    are batch-runner injection points: a capture/replay ADPCM unit
+    encoder and pre-encoded video frame results (psxavenc_tpu.batch
+    groups many files' device work into shared calls)."""
     fmt = args.format
     if fmt in (ca.FORMAT_XA, ca.FORMAT_XACD):
         from .containers import xa as xamod
         _info(args, _audio_banner_xa(args))
-        xamod.encode_file_xa(args, dec, output)
+        xamod.encode_file_xa(args, dec, output, unit_encoder=unit_encoder)
     elif fmt in (ca.FORMAT_SPU, ca.FORMAT_VAG):
         if not (args.flags & ca.FLAG_OVERRIDE_LOOP_POINT):
             args.audio_loop_point = ingest.get_av_loop_point(dec, args)
@@ -125,7 +129,8 @@ def _dispatch(args, dec, output):
         from .containers import vag as vagmod
         _info(args, f"Audio format: SPU-ADPCM, {args.audio_frequency} "
                     "Hz mono")
-        vagmod.encode_file_spu(args, dec, output)
+        vagmod.encode_file_spu(args, dec, output,
+                               unit_encoder=unit_encoder)
     elif fmt in (ca.FORMAT_SPUI, ca.FORMAT_VAGI):
         if not (args.flags & ca.FLAG_OVERRIDE_LOOP_POINT):
             args.audio_loop_point = ingest.get_av_loop_point(dec, args)
@@ -133,13 +138,15 @@ def _dispatch(args, dec, output):
         _info(args, f"Audio format: SPU-ADPCM, {args.audio_frequency} "
                     f"Hz {args.audio_channels} channels, "
                     f"interleave={args.audio_interleave}")
-        vagmod.encode_file_spui(args, dec, output)
+        vagmod.encode_file_spui(args, dec, output,
+                                unit_encoder=unit_encoder)
     elif fmt in (ca.FORMAT_STR, ca.FORMAT_STRCD):
         from .containers import strf as strmod
         if dec.has_audio:
             _info(args, _audio_banner_xa(args))
         _info(args, _video_banner(args))
-        strmod.encode_file_str(args, dec, output)
+        strmod.encode_file_str(args, dec, output,
+                               frame_results=frame_results)
     elif fmt == ca.FORMAT_STRSPU:
         # The reference prints this and still exits 0 (main.c:159-162).
         print("This format is not currently supported", file=sys.stderr)
@@ -151,11 +158,13 @@ def _dispatch(args, dec, output):
                         f"{args.audio_channels} channels, "
                         f"interleave={args.audio_interleave}")
         _info(args, _video_banner(args))
-        strmod.encode_file_strspu(args, dec, output)
+        strmod.encode_file_strspu(args, dec, output,
+                                  frame_results=frame_results)
     elif fmt == ca.FORMAT_SBS:
         from .containers import sbs as sbsmod
         _info(args, _video_banner(args))
-        sbsmod.encode_file_sbs(args, dec, output)
+        sbsmod.encode_file_sbs(args, dec, output,
+                               frame_results=frame_results)
 
     if not (args.flags & ca.FLAG_HIDE_PROGRESS):
         print("\nDone.", file=sys.stderr)

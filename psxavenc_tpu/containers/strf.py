@@ -229,6 +229,28 @@ class _FrameFeed:
         return self.scale_prefix[frames_started]
 
 
+class _PrecomputedFrameFeed:
+    """Frame feed over results another component already encoded (the
+    batch runner groups many files' frames into shared device calls and
+    hands each muxer its slice)."""
+
+    def __init__(self, results):
+        self.results = results
+        self.scale_prefix = [0]
+        for _, info in results:
+            self.scale_prefix.append(self.scale_prefix[-1]
+                                     + info["quant_scale"])
+
+    def frame(self, f):
+        return self.results[f - 1]
+
+    def evict_below(self, f):
+        pass  # owned by the batch runner
+
+    def quant_scale_sum(self, frames_started):
+        return self.scale_prefix[frames_started]
+
+
 def _write_video_sector(args, buffer, desc, fb, info, enc):
     """init_sector_buffer_video (filefmt.c:73-91) + encode_sector_str
     header/payload placement (mdec.c:782-835)."""
@@ -282,12 +304,16 @@ def _write_video_sector(args, buffer, desc, fb, info, enc):
 
 
 def _mux(args, dec, output, sectors, audio_lengths, frame_budgets,
-         sector_size, buffer_size):
+         sector_size, buffer_size, frame_results=None):
     """Incremental schedule writer shared by str/strcd and strv."""
     enc = BsFrameEncoder(args.video_codec, dec.video_width,
                          dec.video_height)
     source = _source_for(dec)
-    frames = _FrameFeed(enc, source, frame_budgets, dec.video_frame_count)
+    if frame_results is not None:
+        frames = _PrecomputedFrameFeed(frame_results)
+    else:
+        frames = _FrameFeed(enc, source, frame_budgets,
+                            dec.video_frame_count)
     audio = _AudioSectorFeed(args, source, audio_lengths)
 
     buffer = np.zeros(buffer_size, dtype=np.uint8)
@@ -314,9 +340,10 @@ def _mux(args, dec, output, sectors, audio_lengths, frame_budgets,
         dec.close()
 
 
-def encode_file_str(args, dec, output):
-    """str/strcd (filefmt.c:391-520)."""
-    sector_size = xamod.xa_sector_size(args)
+def str_schedule(args, dec, quiet=False):
+    """Full str/strcd schedule from the A/V totals (the banner prints
+    unless ``quiet``; the batch runner plans silently, the mux pass
+    prints)."""
     if dec.has_audio:
         interleave = xamod.xa_sector_interleave(args) * args.str_cd_speed
         asps = xamod.xa_samples_per_sector(args)
@@ -329,31 +356,41 @@ def encode_file_str(args, dec, output):
     base_overflow = (75 * args.str_cd_speed) * vspb * args.str_fps_den
     overflow_den = interleave * args.str_fps_num
     frame_size = base_overflow / overflow_den
-    _video_banner(args, interleave, vspb, frame_size)
+    if not quiet:
+        _video_banner(args, interleave, vspb, frame_size)
     frames_needed = max(2, math.ceil(vspb / frame_size))
+    return _schedule(args, dec, asps, interleave, vspb, base_overflow,
+                     overflow_den, frames_needed)
 
-    sectors, audio_lengths, frame_budgets = _schedule(
-        args, dec, asps, interleave, vspb, base_overflow, overflow_den,
-        frames_needed)
+
+def strspu_schedule(args, dec, quiet=False):
+    """strv schedule (video-only pacing, filefmt.c:522-631)."""
+    interleave, asps, vspb = 1, 0, 1
+    base_overflow = (75 * args.str_cd_speed) * vspb * args.str_fps_den
+    overflow_den = interleave * args.str_fps_num
+    frame_size = base_overflow / overflow_den
+    if not quiet:
+        _video_banner(args, interleave, vspb, frame_size)
+    frames_needed = max(2, math.ceil(vspb / frame_size))
+    return _schedule(args, dec, asps, interleave, vspb, base_overflow,
+                     overflow_den, frames_needed)
+
+
+def encode_file_str(args, dec, output, frame_results=None):
+    """str/strcd (filefmt.c:391-520)."""
+    sector_size = xamod.xa_sector_size(args)
+    sectors, audio_lengths, frame_budgets = str_schedule(args, dec)
     _mux(args, dec, output, sectors, audio_lengths, frame_budgets,
-         sector_size, 2352)
+         sector_size, 2352, frame_results)
 
 
-def encode_file_strspu(args, dec, output):
+def encode_file_strspu(args, dec, output, frame_results=None):
     """strv (and the strspu skeleton) — 2048-byte sectors, video only
     (filefmt.c:522-631; the reference's audio branch is unimplemented)."""
     if dec.has_audio:
         raise NotImplementedError(
             "strspu audio is unimplemented in the reference "
             "(filefmt.c:528)")
-    interleave, asps, vspb = 1, 0, 1
-    base_overflow = (75 * args.str_cd_speed) * vspb * args.str_fps_den
-    overflow_den = interleave * args.str_fps_num
-    frame_size = base_overflow / overflow_den
-    _video_banner(args, interleave, vspb, frame_size)
-    frames_needed = max(2, math.ceil(vspb / frame_size))
-
-    sectors, _, frame_budgets = _schedule(
-        args, dec, asps, interleave, vspb, base_overflow, overflow_den,
-        frames_needed)
-    _mux(args, dec, output, sectors, [], frame_budgets, 2048, 2048)
+    sectors, _, frame_budgets = strspu_schedule(args, dec)
+    _mux(args, dec, output, sectors, [], frame_budgets, 2048, 2048,
+         frame_results)

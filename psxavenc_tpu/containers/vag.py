@@ -48,8 +48,10 @@ def write_vag_header(args, size_per_channel):
     return bytes(h)
 
 
-def encode_file_spu(args, dec, output):
+def encode_file_spu(args, dec, output, unit_encoder=None):
     """Mono SPU-ADPCM -> raw .spu or .vag (filefmt.c:212-293)."""
+    if unit_encoder is None:
+        unit_encoder = streams.encode_unit_streams
     if args.format == ca.FORMAT_VAG:
         output.seek(VAG_HEADER_SIZE)
 
@@ -75,7 +77,7 @@ def encode_file_spu(args, dec, output):
         dec.retire_av_data(ln, 0)
 
     offsets, limits = streams.chunk_unit_layout([c[0] for c in chunk_lengths])
-    headers, nibbles, _, _ = streams.encode_unit_streams(
+    headers, nibbles, _, _ = unit_encoder(
         pcm[:, :n], offsets[None], limits[None], ops.SPU_FILTER_COUNT,
         ops.SHIFT_RANGE_4BPS)
     flags = np.zeros(len(chunk_lengths), dtype=np.uint8)
@@ -88,8 +90,10 @@ def encode_file_spu(args, dec, output):
     progress = Progress(args)
     for t in range(blocks.shape[0]):
         output.write(blocks[t].tobytes())
-        block_count += 1
+        # Pre-increment counter, like the reference's for-increment
+        # (filefmt.c:237,259-268).
         progress.print_spu(block_count, args.audio_frequency)
+        block_count += 1
 
     if not (args.flags & ca.FLAG_SPU_ENABLE_LOOP):
         trap = bytearray(BLOCK_SIZE)
@@ -106,8 +110,10 @@ def encode_file_spu(args, dec, output):
         output.write(write_vag_header(args, block_count * BLOCK_SIZE))
 
 
-def encode_file_spui(args, dec, output):
+def encode_file_spui(args, dec, output, unit_encoder=None):
     """Interleaved SPU-ADPCM -> .spui or .vagi (filefmt.c:295-389)."""
+    if unit_encoder is None:
+        unit_encoder = streams.encode_unit_streams
     ch = args.audio_channels
     samples_per_chunk = (args.audio_interleave // BLOCK_SIZE) * \
         SAMPLES_PER_BLOCK
@@ -139,7 +145,7 @@ def encode_file_spui(args, dec, output):
     per_channel = np.stack([pcm[c::ch] for c in range(ch)]) \
         if ch > 1 else pcm[None, :]
     offsets, limits = streams.chunk_unit_layout([c[0] for c in chunks])
-    headers, nibbles, _, _ = streams.encode_unit_streams(
+    headers, nibbles, _, _ = unit_encoder(
         per_channel.astype(np.int32), np.broadcast_to(offsets, (ch,) +
                                                       offsets.shape),
         np.broadcast_to(limits, (ch,) + limits.shape),
@@ -170,7 +176,8 @@ def encode_file_spui(args, dec, output):
                     chunk[last + 1] = LOOP_TRAP
         unit_pos += n_units
         output.write(chunk.tobytes())
-        progress.print_spui(ci + 1, samples_per_chunk, args.audio_frequency)
+        # Pre-increment counter (filefmt.c:364-374).
+        progress.print_spui(ci, samples_per_chunk, args.audio_frequency)
 
     if args.format == ca.FORMAT_VAGI:
         header = bytearray(header_size)

@@ -65,7 +65,9 @@ class XaAudioSectors:
     """
 
     def __init__(self, args, pcm_interleaved, lengths, prev1=None,
-                 prev2=None):
+                 prev2=None, unit_encoder=None):
+        if unit_encoder is None:
+            unit_encoder = streams.encode_unit_streams
         self.args = args
         ch = args.audio_channels
         stereo = ch == 2
@@ -95,7 +97,7 @@ class XaAudioSectors:
         B = chans.shape[0]
         p1 = None if prev1 is None else np.asarray(prev1, np.int32)
         p2 = None if prev2 is None else np.asarray(prev2, np.int32)
-        headers, nibbles, f1, f2 = streams.encode_unit_streams(
+        headers, nibbles, f1, f2 = unit_encoder(
             chans, np.broadcast_to(offsets, (B, len(offsets))),
             np.broadcast_to(limits, (B, len(limits))),
             ops.XA_FILTER_COUNT,
@@ -153,7 +155,7 @@ class XaAudioSectors:
             buffer[sub + 6] |= SUBMODE_EOF
 
 
-def encode_file_xa(args, dec, output):
+def encode_file_xa(args, dec, output, unit_encoder=None):
     """filefmt.c:167-210."""
     ch = args.audio_channels
     sps = xa_samples_per_sector(args)
@@ -167,10 +169,12 @@ def encode_file_xa(args, dec, output):
         eois.append(dec.end_of_input)
         dec.retire_av_data(ln * ch, 0)
 
-    sectors = XaAudioSectors(args, pcm, lengths)
+    sectors = XaAudioSectors(args, pcm, lengths, unit_encoder=unit_encoder)
     buffer = np.zeros(2352, dtype=np.uint8)
     progress = Progress(args)
     for s in range(sectors.count):
         sectors.write_sector(buffer, s, s, eois[s])
         output.write(buffer[:sector_size].tobytes())
-        progress.print_xa(s + 1, sps, args.audio_frequency)
+        # The reference prints the pre-increment loop counter
+        # (filefmt.c:177,199-208).
+        progress.print_xa(s, sps, args.audio_frequency)

@@ -97,6 +97,13 @@ class Decoder:
         self.audio_pos += audio_samples
         self.video_pos += video_frames
 
+    def reset(self):
+        """Rewind the ensure/retire window (the batch runner's plan pass
+        consumes it, then the mux pass replays it)."""
+        self.audio_pos = 0
+        self.video_pos = 0
+        self.end_of_input = False
+
 
 class StreamingDecoder:
     """O(1)-memory ingest for long video encodes (str/strcd/strv/sbs).
@@ -288,13 +295,20 @@ def _remix_channels(samples, target_channels):
 
 
 def _resample(samples, src_rate, dst_rate):
-    """Polyphase resample (quality comparable to swresample's default).
+    """Rate conversion for the ffmpeg-free fallback tier.
 
-    Bit-exact passthrough when rates match; otherwise an approximation of
-    the reference's swr_convert output (documented divergence).
+    Bit-exact passthrough when rates match. For the common PSX ratios the
+    shipped swresample tap banks (io/swr_exact.py, extracted from the
+    real library) replay swr_convert EXACTLY; anything else falls back to
+    a scipy polyphase approximation (documented divergence, PARITY.md).
     """
     if src_rate == dst_rate:
         return samples
+    from . import swr_exact
+
+    exact = swr_exact.resample(samples, src_rate, dst_rate)
+    if exact is not None:
+        return exact
     from scipy.signal import resample_poly
 
     g = math.gcd(src_rate, dst_rate)

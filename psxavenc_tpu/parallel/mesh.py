@@ -64,19 +64,20 @@ def packed_video_step(mesh, *, codec, width, height, capacity_words,
                              out_specs=out_specs))
 
 
-def spu_blocks_step(mesh):
-    """Sharded SPU block encoder for file batches: (B, T, 28) units ->
-    (B, T, 16) blocks with the batch axis over the mesh."""
+def unit_encode_step(mesh, *, filter_count, shift_range):
+    """Sharded ADPCM unit encoder for file batches: (B, T, 28) units ->
+    per-unit headers/nibbles/decoder-states with the batch axis over the
+    mesh. Consumed by psxavenc_tpu.batch's grouped audio encode (many
+    files' channel streams concatenated on B; streams are independent,
+    so no compute-path collectives)."""
+    from ..ops import adpcm as adpcm_ops
+
     spec = P(BATCH_AXIS)
-
-    def fn(units, limits, prev1, prev2):
-        blocks, p1, p2 = api.spu_encode_blocks(units, limits, prev1,
-                                               prev2)
-        return blocks, p1, p2
-
-    return jax.jit(shard_map(
-        fn, mesh=mesh, in_specs=(spec, spec, spec, spec),
-        out_specs=(spec, spec, spec)))
+    fn = partial(adpcm_ops.encode_units_scan, filter_count=filter_count,
+                 shift_range=shift_range)
+    return jax.jit(shard_map(fn, mesh=mesh,
+                             in_specs=(spec, spec, spec, spec),
+                             out_specs=(spec, spec, spec, spec)))
 
 
 def encode_step_sharded(mesh, *, codec, width, height):

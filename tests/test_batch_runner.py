@@ -33,6 +33,60 @@ def test_batch_jobs_match_cli(tmp_path):
         (tmp_path / "v_cli.sbs").read_bytes()
 
 
+def test_batch_grouping_identical_and_faster(tmp_path):
+    """SURVEY §2.2's headline batch axis: an 8-file job list groups its
+    device work (audio streams concatenated on B — mesh-sharded over the
+    8 virtual devices — and video frames in shared batches) and produces
+    bytes identical to strictly serial execution, in less wall-clock."""
+    import time
+
+    (tmp_path / "g").mkdir()
+    (tmp_path / "s").mkdir()
+    n = 120_000  # long enough that device work dominates the runner
+    jobs_g, jobs_s = [], []
+    for k in range(6):
+        wav = write_wav(tmp_path / f"a{k}.wav",
+                        rand_pcm(n + 1000 * k, seed=k), 44100)
+        for d, jobs in (("g", jobs_g), ("s", jobs_s)):
+            jobs.append(["-q", "-t", "vag", "-f", "44100", str(wav),
+                         str(tmp_path / d / f"a{k}.vag")])
+    stw = write_wav(tmp_path / "st.wav",
+                    rand_pcm(n, channels=2, seed=7), 37800)
+    avi = write_avi_sized(tmp_path / "v.avi", 64, 48,
+                          rand_frames(64, 48, 12, seed=8), 15)
+    for d, jobs in (("g", jobs_g), ("s", jobs_s)):
+        jobs.append(["-q", "-t", "xa", "-f", "37800", "-c", "2",
+                     str(stw), str(tmp_path / d / "o.xa")])
+        jobs.append(["-q", "-t", "strv", "-s", "64x48", str(avi),
+                     str(tmp_path / d / "o.strv")])
+
+    # Warm both paths' jit caches on throwaway passes so the timing
+    # compares device-call structure, not compilation.
+    for grp in (False, True):
+        warm = [j[:-1]
+                + [str(tmp_path / "s" / ("w_" + j[-1].split("/")[-1]))]
+                for j in jobs_s]
+        batch.run_jobs(warm, group=grp, quiet=True)
+
+    t0 = time.monotonic()
+    rcs_s = batch.run_jobs(jobs_s, group=False, quiet=True)
+    t_serial = time.monotonic() - t0
+    t0 = time.monotonic()
+    rcs_g = batch.run_jobs(jobs_g, group=True, quiet=True)
+    t_grouped = time.monotonic() - t0
+    assert all(r == 0 for r in rcs_s + rcs_g)
+
+    for jg, js in zip(jobs_g, jobs_s):
+        assert open(jg[-1], "rb").read() == open(js[-1], "rb").read(), \
+            jg[-1]
+    # Record the win (same-basename outputs, warm caches). Grouping cuts
+    # 6 vag scans to one 6-wide scan; allow slack for CI noise but it
+    # must not be slower.
+    print(f"batch wall-clock: serial {t_serial:.2f}s "
+          f"grouped {t_grouped:.2f}s")
+    assert t_grouped < t_serial, (t_grouped, t_serial)
+
+
 def test_batch_reports_failures(tmp_path, capsys):
     jobs = tmp_path / "jobs.txt"
     jobs.write_text(f"-q -t vag /nonexistent.wav {tmp_path}/x.vag\n")
