@@ -17,6 +17,43 @@ from psxavenc_tpu.ops import adpcm_pallas as pk
 from tests.conftest import rand_pcm
 
 
+@pytest.mark.slow
+def test_pallas_interpret_matches_xla():
+    """CPU-CI coverage for the Mosaic ADPCM kernel: interpret mode with a
+    reduced candidate unroll (filter_count=2 — the same kernel code path,
+    fewer statically-unrolled candidates; the full fc=5 interpret compile
+    takes ~8 minutes, fc=2 ~40s). The production (5,12)/(4,12)/(4,8)
+    variants are compiled and cross-checked on real TPU by bench.py's
+    _validate_pallas on every benchmark run."""
+    B, T = 128, 2
+    samples = rand_pcm(B * T * 28, seed=78).reshape(B, T, 28).astype(
+        np.int32)
+    limits = np.full((B, T), 28, np.int32)
+    limits[0, -1] = 11
+    limits[1, -1] = 0
+    rng = np.random.default_rng(1)
+    p1 = rng.integers(-0x8000, 0x8000, B).astype(np.int32)
+    p2 = rng.integers(-0x8000, 0x8000, B).astype(np.int32)
+    args = (jnp.asarray(samples), jnp.asarray(limits), jnp.asarray(p1),
+            jnp.asarray(p2))
+    h_ref, nib_ref, s1_ref, s2_ref = ops.encode_units_scan(
+        *args, filter_count=2, shift_range=12)
+    h, words, s1, s2 = pk.encode_units_pallas(
+        *args, filter_count=2, shift_range=12, interpret=True)
+    assert np.array_equal(np.asarray(h), np.asarray(h_ref))
+    assert np.array_equal(np.asarray(s1), np.asarray(s1_ref))
+    assert np.array_equal(np.asarray(s2), np.asarray(s2_ref))
+    w = np.asarray(words).astype(np.uint32)
+    vals = np.zeros((B, T, 28), np.uint32)
+    for k in range(w.shape[2]):
+        for m in range(8):
+            idx = 8 * k + m
+            if idx < 28:
+                vals[:, :, idx] = (w[:, :, k] >> (4 * m)) & 0xF
+    assert np.array_equal(vals & 0xF,
+                          np.asarray(nib_ref).astype(np.uint32) & 0xF)
+
+
 @pytest.mark.skipif(jax.devices()[0].platform != "tpu",
                     reason="compiled Pallas needs a TPU; interpreter mode "
                            "takes minutes")
