@@ -1,0 +1,128 @@
+"""Golden byte-diffs through the NON-native ingest tiers.
+
+Every other golden test routes through the native FFmpeg extension when it
+is available (it always is in CI), so a regression in the pure-Python
+WAV/AVI readers would pass the suite. These force
+PSXAVENC_NO_NATIVE_INGEST=1 with inputs chosen so the fallback tiers are
+exact (same-rate WAV, same-size raw-I420 AVI — the documented
+resample/rescale approximations never trigger, PARITY.md)."""
+
+import pytest
+
+from psxavenc_tpu import cli
+from tests.conftest import (rand_frames, rand_pcm, run_oracle,
+                            write_avi_sized, write_wav)
+from tests.test_golden_xa import _mask_for, _normalize
+
+
+@pytest.fixture(autouse=True)
+def _no_native(monkeypatch):
+    monkeypatch.setenv("PSXAVENC_NO_NATIVE_INGEST", "1")
+    monkeypatch.setenv("PSXAVENC_STREAMING", "0")
+
+
+def test_fallback_wav_xa_golden(tmp_path, oracle):
+    """Same-rate stereo WAV through the pure-Python reader: xa bytes
+    match the oracle (masking the documented uninitialized bytes)."""
+    wav = write_wav(tmp_path / "in.wav",
+                    rand_pcm(37800 * 2, channels=2, seed=21), 37800)
+    ref = tmp_path / "ref.xa"
+    our = tmp_path / "our.xa"
+    args = ["-t", "xa", "-f", "37800", "-c", "2", "-b", "4"]
+    r = run_oracle(["-q"] + args + [wav, ref])
+    assert r.returncode == 0, r.stderr
+    assert cli.main(["-q"] + args + [str(wav), str(our)]) == 0
+    ssize, mask = _mask_for("xa", 4)
+    assert _normalize(ref.read_bytes(), ssize, mask) == \
+        _normalize(our.read_bytes(), ssize, mask)
+
+
+@pytest.mark.parametrize("dst_rate", [37800, 18900])
+def test_fallback_resample_golden(tmp_path, oracle, dst_rate):
+    """44100 Hz input resampled through the fallback tier is bit-exact:
+    the shipped swresample tap banks (io/swr_exact.py) replay
+    swr_convert — formerly a documented approximation."""
+    wav = write_wav(tmp_path / "in.wav",
+                    rand_pcm(44100 * 2, channels=2, seed=31), 44100)
+    ref = tmp_path / "ref.xa"
+    our = tmp_path / "our.xa"
+    args = ["-t", "xa", "-f", str(dst_rate), "-c", "2"]
+    r = run_oracle(["-q"] + args + [wav, ref])
+    assert r.returncode == 0, r.stderr
+    assert cli.main(["-q"] + args + [str(wav), str(our)]) == 0
+    ssize, mask = _mask_for("xa", 4)
+    assert _normalize(ref.read_bytes(), ssize, mask) == \
+        _normalize(our.read_bytes(), ssize, mask)
+
+
+@pytest.mark.parametrize("src_rate,dst_rate", [
+    (48000, 22050), (32000, 44100), (48000, 44100), (22050, 44100),
+])
+def test_swr_exact_matches_native(tmp_path, monkeypatch, src_rate,
+                                  dst_rate):
+    """Every shipped tap bank replays the real libswresample exactly
+    (PCM-level comparison against the native extension)."""
+    import numpy as np
+
+    from psxavenc_tpu.io import swr_exact
+    from psxavenc_tpu.native import ingest_ext
+
+    monkeypatch.delenv("PSXAVENC_NO_NATIVE_INGEST")
+    pcm = rand_pcm(src_rate * 2, channels=2, seed=31)
+    wav = write_wav(tmp_path / "in.wav", pcm, src_rate, channels=2)
+    exact = swr_exact.resample(pcm, src_rate, dst_rate)
+    assert exact is not None
+    r = ingest_ext.ingest(
+        str(wav), flags=1, audio_frequency=dst_rate, audio_channels=2,
+        video_width=320, video_height=240, ignore_aspect=1, fps_num=15,
+        fps_den=1, quiet=1)
+    native = r["audio"].reshape(-1, 2)
+    assert np.array_equal(exact, native)
+
+
+def test_fallback_wav_spu_golden(tmp_path, oracle):
+    """Same-rate mono WAV with an smpl loop chunk through the fallback
+    reader: spu bytes (incl. loop flags) match exactly."""
+    wav = write_wav(tmp_path / "in.wav", rand_pcm(20_000, seed=22),
+                    44100, loop_start=5600)
+    ref = tmp_path / "ref.spu"
+    our = tmp_path / "our.spu"
+    args = ["-t", "spu", "-f", "44100"]
+    r = run_oracle(["-q"] + args + [wav, ref])
+    assert r.returncode == 0, r.stderr
+    assert cli.main(["-q"] + args + [str(wav), str(our)]) == 0
+    assert ref.read_bytes() == our.read_bytes()
+
+
+def test_fallback_avi_sbs_golden(tmp_path, oracle):
+    """Same-size raw-I420 AVI through the pure-Python AVI reader: sbs
+    bytes match exactly (no rescale, no masking)."""
+    frames = rand_frames(64, 48, 7, seed=23)
+    avi = write_avi_sized(tmp_path / "in.avi", 64, 48, frames, 15)
+    ref = tmp_path / "ref.sbs"
+    our = tmp_path / "our.sbs"
+    args = ["-t", "sbs", "-s", "64x48", "-a", "8192"]
+    r = run_oracle(["-q"] + args + [avi, ref])
+    assert r.returncode == 0, r.stderr
+    assert cli.main(["-q"] + args + [str(avi), str(our)]) == 0
+    assert ref.read_bytes() == our.read_bytes()
+
+
+def test_fallback_avi_str_golden(tmp_path, oracle):
+    """A/V AVI through the fallback reader: str interleave bytes match
+    (masking the documented per-sector uninitialized regions)."""
+    frames = rand_frames(64, 48, 16, seed=24)
+    pcm = rand_pcm(37800 * 2, channels=2, seed=25)
+    avi = write_avi_sized(tmp_path / "in.avi", 64, 48, frames, 15,
+                          audio=pcm, audio_rate=37800)
+    ref = tmp_path / "ref.str"
+    our = tmp_path / "our.str"
+    args = ["-t", "str", "-s", "64x48", "-f", "37800", "-c", "2"]
+    r = run_oracle(["-q"] + args + [avi, ref])
+    assert r.returncode == 0, r.stderr
+    assert cli.main(["-q"] + args + [str(avi), str(our)]) == 0
+    # str (2336): audio sectors' tail gap + EDC, video sectors' tail
+    # incl. the bogus Form1 EDC region (PARITY.md).
+    mask = [3, 7] + list(range(2056, 2336))
+    assert _normalize(ref.read_bytes(), 2336, mask) == \
+        _normalize(our.read_bytes(), 2336, mask)

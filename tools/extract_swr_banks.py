@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Extract libswresample's exact polyphase behavior into a data file.
+
+The fallback ingest tier (no FFmpeg libraries) needs bit-exact rate
+conversion for common PSX ratios. swresample's s16 path is an integer
+polyphase FIR: y[n] = clip((sum_k T[n][k] * x[s_n + k] + 16384) >> 15),
+periodic in n with period L (dst/gcd) shifting by M (src/gcd) — verified
+by probing. This tool recovers the taps EXACTLY by feeding impulses of
+-32768 through the native ingest extension (an impulse of -2^15 makes the
+post-round output equal the negated tap), detects the transient width and
+the output-length rule, and writes everything to
+psxavenc_tpu/data/swr_banks.npz for io/swr_exact.py.
+
+Run on any host with the FFmpeg dev libraries:
+    python tools/extract_swr_banks.py
+"""
+
+import math
+import pathlib
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from psxavenc_tpu.native import ingest_ext  # noqa: E402
+from psxavenc_tpu.utils.synth import write_wav  # noqa: E402
+
+RATIOS = [
+    (44100, 37800), (44100, 18900), (48000, 37800), (48000, 18900),
+    (44100, 22050), (48000, 22050), (48000, 44100), (32000, 44100),
+    (22050, 44100), (37800, 44100),
+]
+
+OUT = (pathlib.Path(__file__).resolve().parents[1] / "psxavenc_tpu"
+       / "data" / "swr_banks.npz")
+
+_td = pathlib.Path(tempfile.mkdtemp())
+
+
+def swr(pcm, src, dst):
+    p = _td / "p.wav"
+    write_wav(p, pcm, src)
+    r = ingest_ext.ingest(
+        str(p), flags=1, audio_frequency=dst, audio_channels=1,
+        video_width=320, video_height=240, ignore_aspect=1, fps_num=15,
+        fps_den=1, quiet=1)
+    return r["audio"].astype(np.int64)
+
+
+def extract_rows(src, dst, probe_span):
+    """Exact tap rows: {output n: {src p: tap}} for all outputs fully
+    covered by impulses at src positions [0, probe_span). Window and
+    impulse spacing scale with the ratio: downsampling uses a filter
+    ~32*src/dst src-samples long (anti-alias), so one impulse's output
+    response spans ~filter_len*L/M outputs."""
+    L = dst // math.gcd(src, dst)
+    M = src // math.gcd(src, dst)
+    # Generous estimates; verified post-hoc (a truncated response leaves
+    # nonzero samples at the window edge and fails the random check).
+    filt_src = int(40 * max(1.0, M / L)) + 40
+    span_out = filt_src * L // M + 40
+    spacing = 2 * filt_src + 64
+    n_in = probe_span + 4 * filt_src + 4000
+    cols = {}
+    for ph in range(0, spacing, 1):
+        pos = list(range(ph, probe_span, spacing))
+        if not pos:
+            continue
+        xs = np.zeros(n_in, np.int16)
+        for p in pos:
+            xs[p] = -32768
+        y = swr(xs, src, dst)
+        for p in pos:
+            c = p * L // M
+            lo = max(0, c - span_out)
+            hi = min(len(y), c + span_out)
+            seg = -y[lo:hi]
+            nz = np.nonzero(seg)[0]
+            if len(nz):
+                assert nz.min() > 0 or lo == 0, "window clipped (left)"
+                assert nz.max() < len(seg) - 1, "window clipped (right)"
+                cols[p] = (lo + int(nz.min()),
+                           seg[nz.min():nz.max() + 1].copy())
+    rows = {}
+    for p, (o0, taps) in cols.items():
+        for i, t in enumerate(taps):
+            if t:
+                rows.setdefault(o0 + i, {})[p] = int(t)
+    return rows, L, M, filt_src
+
+
+def build_bank(src, dst):
+    L = dst // math.gcd(src, dst)
+    M = src // math.gcd(src, dst)
+    span = max(600, 4 * M + 200, 3 * L * M // L + 600)
+    rows, L, M, filt_src = extract_rows(src, dst, span)
+    # Outputs whose full src support was probed.
+    max_full = max(n for n in rows if max(rows[n]) + filt_src < span)
+
+    # Transient width: first n from which row(n+L) is row(n) shifted by M.
+    def shifted_eq(a, b):
+        return a == {p - M: t for p, t in b.items()}
+
+    W = None
+    for n0 in range(0, max_full - 3 * L):
+        if all(shifted_eq(rows[n], rows[n + L])
+               for n in range(n0, min(n0 + 2 * L, max_full - L))):
+            W = n0
+            break
+    assert W is not None, f"no periodicity found for {src}->{dst}"
+
+    nrows = W + L
+    K = max(len(r) + (max(r) - min(r) + 1 - len(r))
+            for r in (rows[n] for n in range(nrows)))
+    K = max(max(rows[n]) - min(rows[n]) + 1 for n in range(nrows))
+    starts = np.zeros(nrows, np.int64)
+    taps = np.zeros((nrows, K), np.int64)
+    for n in range(nrows):
+        r = rows[n]
+        s = min(r)
+        starts[n] = s
+        for p, t in r.items():
+            taps[n, p - s] = t
+
+    # Output length rule: len = floor((n_in * L - D) / M), from probes.
+    lens = {}
+    for n_in in (2000, 2611, 3000, 3777, 4097, 5000, 8191):
+        lens[n_in] = len(swr(np.zeros(n_in, np.int16), src, dst))
+    ds = {n_in * L - M * ln for n_in, ln in lens.items()}
+    # len = floor((n*L - D)/M) needs d - M < D <= d for every probe's
+    # d = n*L - M*len; intersect.
+    lo_excl = max(ds) - M
+    hi_incl = min(ds)
+    assert lo_excl < hi_incl, \
+        f"length rule inconsistent for {src}->{dst}: {lens}"
+    D = hi_incl
+
+    # Verify exactly on random data (twice, incl. the clip path).
+    rng = np.random.default_rng(0)
+    for amp, n_in in ((30000, 3777), (32767, 5000)):
+        x = rng.integers(-amp, amp, n_in).astype(np.int16)
+        y = swr(x, src, dst)
+        assert len(y) == (n_in * L - D) // M, (len(y), n_in)
+        from psxavenc_tpu.io import swr_exact
+
+        pred = swr_exact.apply_bank(x[:, None], starts, taps, W, L, M,
+                                    D)[:, 0]
+        assert np.array_equal(pred, y), f"verify failed {src}->{dst}"
+    print(f"{src}->{dst}: W={W} L={L} M={M} K={K} D={D} verified")
+    return starts, taps, W, L, M, D
+
+
+def main():
+    assert ingest_ext.load() is not None, "needs the native extension"
+    out = {}
+    for src, dst in RATIOS:
+        starts, taps, W, L, M, D = build_bank(src, dst)
+        key = f"{src}_{dst}"
+        out[f"{key}_starts"] = starts
+        out[f"{key}_taps"] = taps
+        out[f"{key}_meta"] = np.array([W, L, M, D], np.int64)
+    OUT.parent.mkdir(exist_ok=True)
+    np.savez_compressed(OUT, **out)
+    print(f"wrote {OUT} ({OUT.stat().st_size} bytes)")
+
+
+if __name__ == "__main__":
+    main()
