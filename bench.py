@@ -318,10 +318,16 @@ def measure_audio_cli_path(seconds=20):
     for label, use in (("pallas", True), ("xla", False)):
         streams.encode_unit_streams(pcm, offs2, lims2, 4, 12,
                                     use_pallas=use)  # compile
-        t0 = time.monotonic()
-        streams.encode_unit_streams(pcm, offs2, lims2, 4, 12,
-                                    use_pallas=use)
-        out[label] = 2 * n / (time.monotonic() - t0) / 1e6
+        # Best of 3: the dev tunnel's per-transfer latency swings
+        # 30-400ms with its own state (e.g. right after a heavy video
+        # loop) — the minimum reflects the path, not the tunnel mood.
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.monotonic()
+            streams.encode_unit_streams(pcm, offs2, lims2, 4, 12,
+                                        use_pallas=use)
+            best = min(best, time.monotonic() - t0)
+        out[label] = 2 * n / best / 1e6
     return out
 
 

@@ -186,18 +186,19 @@ def _gather_kernel(j0_ref, nwin_ref, e0_ref, vals_ref, out_ref, *,
     tiles inside. Contributions are bit-disjoint: the 9 per-candidate
     offsets map to distinct lanes (OR-accumulated, one compare/select
     each) and distinct candidates never share set bits, so one final
-    int32 sum over the candidate axis replaces the former 9 cross-
-    sublane reductions."""
+    int32 sum over the candidate axis per tile replaces per-window
+    reductions. Window starts are 8-aligned (j0 prepped on host) so the
+    dynamic sublane loads stay on native sublane boundaries."""
     b = pl.program_id(0)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (_GW, 128), 1)
 
     def tile_body(t, carry):
-        j0 = j0_ref[b, t]
+        j0 = pl.multiple_of(j0_ref[b, t], 8)
         nw = nwin_ref[b, t]
         tile_start = t * 128
 
-        def win_body(w, acc):
-            j = j0 + w * _GW
+        def win_body(w, acc2d):
+            j = pl.multiple_of(j0 + w * _GW, 8)
             e = e0_ref[0, pl.ds(j, _GW), 0].reshape(_GW, 1) - tile_start
             vals = vals_ref[0, pl.ds(j, _GW), :]
             diff = lanes - e                       # (GW, 128)
@@ -205,11 +206,15 @@ def _gather_kernel(j0_ref, nwin_ref, e0_ref, vals_ref, out_ref, *,
             for i in range(9):
                 contrib = contrib | jnp.where(diff == i,
                                               vals[:, i:i + 1], 0)
-            return acc + jnp.sum(contrib, axis=0, keepdims=True)
+            # Distinct candidates never share set bits, so OR == +; the
+            # 2-D accumulator defers the cross-sublane reduction to one
+            # per tile.
+            return acc2d | contrib
 
         acc = jax.lax.fori_loop(0, nw, win_body,
-                                jnp.zeros((1, 128), jnp.int32))
-        out_ref[0, 0, pl.ds(pl.multiple_of(t * 128, 128), 128)] = acc[0]
+                                jnp.zeros((_GW, 128), jnp.int32))
+        out_ref[0, 0, pl.ds(pl.multiple_of(t * 128, 128), 128)] = \
+            jnp.sum(acc, axis=0)
         return carry
 
     jax.lax.fori_loop(0, ntiles, tile_body, 0)
@@ -245,6 +250,7 @@ def place_streams_gather_pallas(streams, goff, total_bits, *,
     bounds = jnp.arange(ntiles, dtype=jnp.int32) * 128
     j0 = jax.vmap(lambda e: jnp.searchsorted(e, bounds - 8,
                                              side="left"))(e0)
+    j0 = j0 & ~7  # sublane-aligned window starts (kernel loads)
     j1 = jax.vmap(lambda e: jnp.searchsorted(e, bounds + 128,
                                              side="left"))(e0)
     nwin = -(-(j1 - j0) // _GW)
