@@ -179,7 +179,12 @@ class _FrameFeed:
     """Look-ahead batched frame encoder: encodes VIDEO_BATCH_FRAMES
     budgeted frames per device call, evicting written frames. Source
     frame k-1 feeds encoded frame k, clamping at EOF (the reference's
-    window keeps returning the final frame, decoding.c:524-531)."""
+    window keeps returning the final frame, decoding.c:524-531).
+
+    Batches pipeline one deep: when a batch's results are first needed,
+    the NEXT batch is dispatched before this one's payload is fetched,
+    so the device encodes batch k+1 while the host writes batch k's
+    sectors."""
 
     def __init__(self, enc, source, frame_budgets, total_src_frames):
         self.enc = enc
@@ -190,31 +195,41 @@ class _FrameFeed:
         self.pending = []       # pulled source frames not yet consumed
         self.last_src = None
         self.next_frame = 1     # next 1-based frame number to encode
+        self.inflight = None    # (ids, device handle)
         self.cache = {}
         self.scale_prefix = [0]  # prefix sums of per-frame quant scales
 
+    def _launch_next(self):
+        if self.next_frame > len(self.budgets):
+            return None
+        hi = min(self.next_frame + VIDEO_BATCH_FRAMES - 1,
+                 len(self.budgets))
+        ids = range(self.next_frame, hi + 1)
+        need = min(hi, self.total_src) - self.pulled
+        if need > 0:
+            got = self.source.take_frames(need)
+            self.pending.extend(got)
+            self.pulled += need
+        sources = []
+        for k in ids:
+            if k <= self.total_src:
+                self.last_src = self.pending.pop(0)
+            sources.append(self.last_src)
+        handle = self.enc.encode_frames_async(
+            sources, [self.budgets[k - 1] for k in ids])
+        self.next_frame = hi + 1
+        return ids, handle
+
     def frame(self, f):
-        while f >= self.next_frame:
-            hi = min(self.next_frame + VIDEO_BATCH_FRAMES - 1,
-                     len(self.budgets))
-            ids = range(self.next_frame, hi + 1)
-            need = min(hi, self.total_src) - self.pulled
-            if need > 0:
-                got = self.source.take_frames(need)
-                self.pending.extend(got)
-                self.pulled += need
-            sources = []
-            for k in ids:
-                if k <= self.total_src:
-                    self.last_src = self.pending.pop(0)
-                sources.append(self.last_src)
-            results = self.enc.encode_frames(
-                sources, [self.budgets[k - 1] for k in ids])
-            for k, r in zip(ids, results):
+        while f not in self.cache:
+            if self.inflight is None:
+                self.inflight = self._launch_next()
+            ids, handle = self.inflight
+            self.inflight = self._launch_next()  # overlap with the fetch
+            for k, r in zip(ids, self.enc.fetch(handle)):
                 self.cache[k] = r
                 self.scale_prefix.append(self.scale_prefix[-1]
                                          + r[1]["quant_scale"])
-            self.next_frame = hi + 1
         return self.cache[f]
 
     def evict_below(self, f):

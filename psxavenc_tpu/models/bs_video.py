@@ -56,7 +56,11 @@ class BsFrameEncoder:
         """Encode N frames with per-frame budgets -> list of (buffer, info).
 
         One fused device call per CHUNK of frames; the packed payload is
-        the only thing fetched.
+        the only thing fetched. Launches are pipelined one batch deep:
+        batch k+1 is uploaded and dispatched before batch k's payload is
+        fetched, overlapping host<->device transfers with compute (the
+        device executes in order; per-fetch latency dominates small
+        hosts' wall-clock).
         """
         n = len(frames_nv21)
         results = []
@@ -75,29 +79,79 @@ class BsFrameEncoder:
         chunk = 32 if n >= 32 else self.CHUNK
         # Chunk granularity must divide over the mesh.
         gran = -(-chunk // n_dev) * n_dev if n_dev > 1 else chunk
-        for base in range(0, n, gran):
-            chunk = list(range(base, min(base + gran, n)))
-            pad = gran - len(chunk)
-            fr = np.stack([np.asarray(frames_nv21[i]) for i in chunk]
-                          + [np.asarray(frames_nv21[chunk[-1]])] * pad)
+
+        def launch(base):
+            ids = list(range(base, min(base + gran, n)))
+            pad = gran - len(ids)
+            fr = np.stack([np.asarray(frames_nv21[i]) for i in ids]
+                          + [np.asarray(frames_nv21[ids[-1]])] * pad)
             budgets = np.array(
-                [frame_max_sizes[i] for i in chunk]
-                + [frame_max_sizes[chunk[-1]]] * pad, np.int32)
+                [frame_max_sizes[i] for i in ids]
+                + [frame_max_sizes[ids[-1]]] * pad, np.int32)
             if n_dev > 1:
                 out = self._sharded_step(cap_words)(fr, budgets)
             else:
                 out = api.bs_encode_frames_packed(
                     fr, budgets, codec=self.codec, width=self.width,
                     height=self.height, capacity_words=cap_words)
+            return ids, out
+
+        def collect(ids, out):
             words = np.asarray(out["words"])
             scales = np.asarray(out["scale"])
             total_bits = np.asarray(out["total_bits"])
             nzs = np.asarray(out["nz_count"])
-            for j, i in enumerate(chunk):
+            for j, i in enumerate(ids):
                 results.append(self._assemble(
                     int(scales[j]), words[j], int(total_bits[j]),
                     int(nzs[j]), int(frame_max_sizes[i])))
+
+        pending = None
+        for base in range(0, n, gran):
+            cur = launch(base)
+            if pending is not None:
+                collect(*pending)
+            pending = cur
+        collect(*pending)
         return results
+
+    def encode_frames_async(self, frames_nv21, frame_max_sizes):
+        """Dispatch one device batch without fetching; returns a handle
+        for :meth:`fetch`. Callers overlap the next batch's encode with
+        consuming this one (the str/sbs frame feeds prefetch one batch
+        ahead)."""
+        cap_bytes = int(max(frame_max_sizes))
+        cap_words = max(1, (cap_bytes - 8 + 1) // 2)
+        n_dev = len(self._devices)
+        n = len(frames_nv21)
+        # Same two shape buckets as encode_frames (compile reuse).
+        gran = 32 if n > self.CHUNK else self.CHUNK
+        gran = max(gran, -(-n // n_dev) * n_dev) if n_dev > 1 else gran
+        gran = -(-gran // n_dev) * n_dev if n_dev > 1 else gran
+        pad = gran - n
+        fr = np.stack([np.asarray(f) for f in frames_nv21]
+                      + [np.asarray(frames_nv21[-1])] * pad)
+        budgets = np.array(list(frame_max_sizes)
+                           + [frame_max_sizes[-1]] * pad, np.int32)
+        if n_dev > 1:
+            out = self._sharded_step(cap_words)(fr, budgets)
+        else:
+            out = api.bs_encode_frames_packed(
+                fr, budgets, codec=self.codec, width=self.width,
+                height=self.height, capacity_words=cap_words)
+        return (out, list(frame_max_sizes))
+
+    def fetch(self, handle):
+        """Materialize an async batch -> list of (buffer, info)."""
+        out, sizes = handle
+        words = np.asarray(out["words"])
+        scales = np.asarray(out["scale"])
+        total_bits = np.asarray(out["total_bits"])
+        nzs = np.asarray(out["nz_count"])
+        return [self._assemble(int(scales[j]), words[j],
+                               int(total_bits[j]), int(nzs[j]),
+                               int(sizes[j]))
+                for j in range(len(sizes))]
 
     def _assemble(self, scale, words, total_bits, nz, frame_max_size):
         if scale >= 64:

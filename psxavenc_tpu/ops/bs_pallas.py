@@ -58,19 +58,22 @@ def ladder_lb(ca, d, half):
     - class weights = run-0 code length by |level| class:
       1->3, 2->5, 3->6, 4->8, 5..6->9, 7+->11 bits (rung weights
       3/2/1/2/1/2);
-    - a run-aware bonus for every nonzero with r >= 1 zero predecessors:
-      min(class,3)-1 + min(r,3). Every code family's length at run r
-      exceeds its run-0 length by at least this much (checked for all
-      (run, |level|) pairs).
+    - a run-aware bonus per nonzero with EXACT run r (cummax over scan
+      positions): [r>=1]*(min(class,3)-1) + g(r), where
+      g = min(r,3) + [r>=5] + [r>=8] + [r>=10] + 2[r>=14] + [r>=17]
+      is the largest curve satisfying both validity (every code
+      family's length at run r exceeds run-0 by >= bonus, checked for
+      all (run, |level|) pairs) and the safety condition
+      g(r+d) - g(r) <= 3 + g(d-1) for all r, d (checked exhaustively).
 
     Monotone non-increasing in s = d/q: each magnitude threshold
     k*q*s - (q*s)//2 is non-decreasing in s, so per-element classes only
     fall. When an element with run re leaves the nonzero set, its own
-    terms drop by >= 3 + min(re,3) while exactly one surviving
-    neighbor's bonus can rise — by at most min(class,3) <= 3 from run 0,
-    or by <= min(re,3)+1 from run >= 1 — never more than the drop.
-    Scales where this bound exceeds the fit threshold provably cannot
-    fit (tests pin monotonicity and LB <= exact).
+    terms drop by >= 3 + g(re) while exactly one surviving neighbor's
+    run grows by re + 1 — the safety condition bounds that bonus rise
+    by the drop. Scales where this bound exceeds the fit threshold
+    provably cannot fit (tests pin validity, safety, monotonicity and
+    LB <= exact).
     """
     nzi = (ca >= d - half).astype(jnp.int32)
     c2 = (ca >= 2 * d - half).astype(jnp.int32)
@@ -78,13 +81,14 @@ def ladder_lb(ca, d, half):
     lb = (3 * nzi + 2 * c2 + c3 + 2 * (ca >= 4 * d - half)
           + (ca >= 5 * d - half) + 2 * (ca >= 7 * d - half))
     pos = jax.lax.broadcasted_iota(jnp.int32, ca.shape, 0) + 1
-    p1 = jnp.where(pos > 1, pltpu.roll(nzi, 1, 0), 1)
-    p2 = jnp.where(pos > 2, pltpu.roll(nzi, 2, 0), 1)
-    p3 = jnp.where(pos > 3, pltpu.roll(nzi, 3, 0), 1)
-    z1 = nzi * (1 - p1)           # run >= 1
-    z2 = z1 * (1 - p2)            # run >= 2
-    z3 = z2 * (1 - p3)            # run >= 3
-    return lb + z1 * (c2 + c3) + z1 + z2 + z3
+    nzpos = jnp.where(nzi > 0, pos, 0)
+    prev = _cummax_cols(nzpos)
+    prev_excl = jnp.where(pos > 1, pltpu.roll(prev, 1, 0), 0)
+    run = pos - prev_excl - 1
+    g = (jnp.minimum(run, 3) + (run >= 5) + (run >= 8) + (run >= 10)
+         + 2 * (run >= 14) + (run >= 17))
+    bonus = jnp.where(run >= 1, c2 + c3, 0) + g
+    return lb + nzi * bonus
 
 
 def _ladder_total(c_ref, q_col, s, nchunks):

@@ -85,8 +85,14 @@ def test_ladder_lower_bound_properties():
     """The in-kernel ladder LB never exceeds the exact totals and is
     monotone non-increasing in scale (the two facts that make the
     binary-search start exact-safe)."""
-    # (a) per-(run, |level|) validity of the per-element bound against the
-    # exact closed-form code lengths: bits(r, a) >= w_lb(a) + bonus.
+    def g_curve(r):
+        return (np.minimum(r, 3) + (r >= 5) + (r >= 8) + (r >= 10)
+                + 2 * (r >= 14) + (r >= 17))
+
+    # (a) per-(run, |level|) validity of the per-element bound against
+    # the exact closed-form code lengths: bits(r, a) >= w_lb(a) + bonus;
+    # and the safety condition g(r+d) - g(r) <= 3 + g(d-1) that makes
+    # the whole-frame sum monotone in scale (see ladder_lb's docstring).
     runs = np.arange(0, 64)
     mags = np.arange(1, 600)
     R, A = np.meshgrid(runs, mags, indexing="ij")
@@ -94,8 +100,11 @@ def test_ladder_lower_bound_properties():
         jnp.asarray(R.astype(np.int32)), jnp.asarray(A.astype(np.int32))))
     w_lb = (3 + 2 * (A >= 2) + (A >= 3) + 2 * (A >= 4) + (A >= 5)
             + 2 * (A >= 7))
-    bonus = np.where(R >= 1, np.minimum(A, 3) - 1 + np.minimum(R, 3), 0)
+    bonus = np.where(R >= 1, np.minimum(A, 3) - 1, 0) + g_curve(R)
     assert (bits >= w_lb + bonus).all()
+    gv = g_curve(np.arange(0, 128))
+    for d in range(1, 64):
+        assert (gv[d:64 + d] - gv[:64] <= 3 + gv[d - 1]).all(), d
 
     def ladder_np(a, d, half):
         nz = (a >= d - half).astype(np.int64)
@@ -103,13 +112,15 @@ def test_ladder_lower_bound_properties():
         c3 = (a >= 3 * d - half).astype(np.int64)
         lb = (3 * nz + 2 * c2 + c3 + 2 * (a >= 4 * d - half)
               + (a >= 5 * d - half) + 2 * (a >= 7 * d - half))
-        z1 = np.zeros_like(nz)
-        z1[:, 1:] = nz[:, 1:] * (1 - nz[:, :-1])
-        z2 = np.zeros_like(nz)
-        z2[:, 2:] = z1[:, 2:] * (1 - nz[:, :-2])
-        z3 = np.zeros_like(nz)
-        z3[:, 3:] = z2[:, 3:] * (1 - nz[:, :-3])
-        return (lb + z1 * (c2 + c3) + z1 + z2 + z3).sum(axis=(1, 2))
+        pos = np.broadcast_to(
+            np.arange(1, a.shape[1] + 1)[None, :, None], a.shape)
+        nzpos = np.where(nz > 0, pos, 0)
+        prev = np.maximum.accumulate(nzpos, axis=1)
+        prev_ex = np.roll(prev, 1, axis=1)
+        prev_ex[:, 0] = 0
+        run = pos - prev_ex - 1
+        b = np.where(run >= 1, c2 + c3, 0) + g_curve(run)
+        return (lb + nz * b).sum(axis=(1, 2))
 
     # (b) whole-frame LB <= exact totals and monotone in scale.
     rng = np.random.default_rng(5)

@@ -117,7 +117,7 @@ def test_streaming_long_input_bounded_rss(tmp_path):
         peak_kb = int(r.stdout.split("PEAK_KB")[1].split()[0])
         outs[mode] = (out.read_bytes(), peak_kb)
 
-    assert outs["0"][0] == outs["1"][0]
+    assert outs["0"][0] == outs["1"][0], "streaming bytes != whole-file"
     # Peak RSS bound: dominated by the JAX/XLA CPU runtime itself
     # (~0.5 GB baseline, with ~100 MB run-to-run swing from jit-cache and
     # allocator state — a streaming-vs-wholefile comparison at this input
