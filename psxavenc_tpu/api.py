@@ -127,8 +127,10 @@ def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
     (max_frame_bytes - 8) // 2.
 
     ``packer`` selects the bit-pack strategy (all bit-identical):
-    "fused_gather" (TPU default: Mosaic winner-emission + per-block pack
-    in one kernel, then the output-stationary gather placement kernel),
+    "fused_mxu" (TPU default: Mosaic winner-emission + per-block pack in
+    one kernel, then output-stationary placement spreading candidate
+    windows with one-hot MXU matmuls), "fused_gather" (same, placement
+    via per-candidate compare/selects — ~1 ms/64-frame-batch slower),
     "fused" (same emission, placement via the u32-pair scatter),
     "blocks" (XLA per-block dense windows + scatter; the default off
     TPU), "blocks_pallas" (per-block Mosaic kernels), or "flat" (the
@@ -140,10 +142,10 @@ def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
     if pallas_sweep is None:
         pallas_sweep = _use_pallas_sweep()
     if packer is None:
-        packer = "fused_gather" if pallas_sweep else "blocks"
+        packer = "fused_mxu" if pallas_sweep else "blocks"
     coefs = _frames_to_coefs(frames, width, height)
 
-    if packer in ("fused", "fused_pallas", "fused_gather"):
+    if packer in ("fused", "fused_pallas", "fused_gather", "fused_mxu"):
         # Fused Mosaic winner-emission + per-block packing: the
         # (B, NB, 65) code/bit tensors never exist. Falls back to the
         # emitting path for batches with a >256-bit block stream.
@@ -165,12 +167,15 @@ def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
         overflow = jnp.any(block_bits > 16 * bitpack_ops.BLOCK_CAP_WORDS)
 
         def fast(_):
-            if packer in ("fused_pallas", "fused_gather"):
+            if packer in ("fused_pallas", "fused_gather", "fused_mxu"):
                 from .ops import bitpack_pallas
 
-                place = (bitpack_pallas.place_streams_gather_pallas
-                         if packer == "fused_gather"
-                         else bitpack_pallas.place_streams_pallas)
+                place = {
+                    "fused_gather":
+                        bitpack_pallas.place_streams_gather_pallas,
+                    "fused_mxu": bitpack_pallas.place_streams_mxu_pallas,
+                    "fused_pallas": bitpack_pallas.place_streams_pallas,
+                }[packer]
                 total = goff[:, -1] + block_bits[:, -1]
                 return place(streams, goff, total,
                              capacity_words=capacity_words).astype(

@@ -27,17 +27,18 @@ import numpy as np
 
 from .. import cli_args as ca
 from .. import native
+from ..io.ingest import source_for as _source_for
 from ..models.bs_video import BsFrameEncoder
 from ..utils.progress import Progress
 from . import xa as xamod
 
 STR_MAGIC = 0x0160
 
-# Audio sectors per batched device call. Also bounds the streaming tier's
-# video FIFO depth: filling one audio chunk decodes ~chunk-seconds of
-# interleaved video ahead (64 sectors ~= 1.7 s at 37800 Hz stereo).
-AUDIO_CHUNK_SECTORS = 64
-VIDEO_BATCH_FRAMES = 32     # frame look-ahead per batched device call
+# Frame look-ahead per batched device call. The audio chunking
+# (xa.AUDIO_CHUNK_SECTORS) also bounds the streaming tier's video FIFO
+# depth: filling one audio chunk decodes ~chunk-seconds of interleaved
+# video ahead (64 sectors ~= 1.7 s at 37800 Hz stereo).
+VIDEO_BATCH_FRAMES = 32
 
 
 def _video_banner(args, interleave, vspb, frame_size):
@@ -116,63 +117,8 @@ def _schedule(args, dec, asps, interleave, vspb0, base_overflow,
     return sectors, audio_lengths, frame_budgets
 
 
-class _WholeFileSource:
-    """Adapts a fully-decoded Decoder to the incremental source API."""
-
-    def __init__(self, dec):
-        self._audio = dec.audio_window() if dec.has_audio \
-            else np.zeros(0, np.int16)
-        self._frames = dec.video_window()
-        self._apos = 0
-        self._fpos = 0
-
-    def take_audio(self, n_values):
-        out = self._audio[self._apos:self._apos + n_values]
-        self._apos += n_values
-        return out
-
-    def take_frames(self, k):
-        out = self._frames[self._fpos:self._fpos + k]
-        self._fpos += k
-        assert len(out) == k
-        return out
 
 
-def _source_for(dec):
-    return dec if hasattr(dec, "take_frames") else _WholeFileSource(dec)
-
-
-class _AudioSectorFeed:
-    """Chunked XA audio-sector encoder: batches of AUDIO_CHUNK_SECTORS
-    sectors per device call with exact ADPCM state threading across
-    chunks (the reference's persistent psx_audio_encoder_state_t)."""
-
-    def __init__(self, args, source, audio_lengths):
-        self.args = args
-        self.source = source
-        self.lengths = audio_lengths
-        ch = args.audio_channels
-        self.ch = ch
-        self.prev1 = np.zeros(ch, np.int32)
-        self.prev2 = np.zeros(ch, np.int32)
-        self.next_idx = 0
-        self.cache = {}
-
-    def sector(self, idx):
-        while idx >= self.next_idx:
-            hi = min(self.next_idx + AUDIO_CHUNK_SECTORS, len(self.lengths))
-            lens = self.lengths[self.next_idx:hi]
-            pcm = self.source.take_audio(int(sum(lens)) * self.ch)
-            xs = xamod.XaAudioSectors(self.args, pcm, lens, self.prev1,
-                                      self.prev2)
-            self.prev1, self.prev2 = xs.final_state
-            for i in range(len(lens)):
-                self.cache[self.next_idx + i] = (xs, i)
-            self.next_idx = hi
-        return self.cache[idx]
-
-    def evict(self, idx):
-        self.cache.pop(idx, None)
 
 
 class _FrameFeed:
@@ -329,7 +275,7 @@ def _mux(args, dec, output, sectors, audio_lengths, frame_budgets,
     else:
         frames = _FrameFeed(enc, source, frame_budgets,
                             dec.video_frame_count)
-    audio = _AudioSectorFeed(args, source, audio_lengths)
+    audio = xamod.AudioSectorFeed(args, source, audio_lengths)
 
     buffer = np.zeros(buffer_size, dtype=np.uint8)
     progress = Progress(args)

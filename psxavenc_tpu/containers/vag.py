@@ -48,8 +48,17 @@ def write_vag_header(args, size_per_channel):
     return bytes(h)
 
 
+# SPU blocks per batched device call in the chunked feeds; bounds the
+# streaming tier's working set (~1.8M samples = 3.7 MB PCM per chunk)
+# while keeping typical files in one device call (per-call fetch latency
+# dominates small calls on the dev tunnel).
+SPU_CHUNK_BLOCKS = 65536
+
+
 def encode_file_spu(args, dec, output, unit_encoder=None):
     """Mono SPU-ADPCM -> raw .spu or .vag (filefmt.c:212-293)."""
+    from ..io import ingest
+
     if unit_encoder is None:
         unit_encoder = streams.encode_unit_streams
     if args.format == ca.FORMAT_VAG:
@@ -66,34 +75,44 @@ def encode_file_spu(args, dec, output, unit_encoder=None):
             (args.audio_loop_point * args.audio_frequency) \
             // (SAMPLES_PER_BLOCK * 1000)
 
-    # Drive the windowing state machine to reproduce per-block flags, but
-    # encode every unit in one device call.
-    pcm = dec.audio_window().astype(np.int32)[None, :]
-    n = pcm.shape[1]
+    # Drive the windowing state machine (counts only) to reproduce
+    # per-block flags; samples pull in chunks from the source.
+    source = ingest.source_for(dec)
     chunk_lengths = []
     while dec.ensure_av_data(SAMPLES_PER_BLOCK, 0):
         ln = min(dec.audio_sample_count, SAMPLES_PER_BLOCK)
         chunk_lengths.append((ln, dec.end_of_input))
         dec.retire_av_data(ln, 0)
 
-    offsets, limits = streams.chunk_unit_layout([c[0] for c in chunk_lengths])
-    headers, nibbles, _, _ = unit_encoder(
-        pcm[:, :n], offsets[None], limits[None], ops.SPU_FILTER_COUNT,
-        ops.SHIFT_RANGE_4BPS)
-    flags = np.zeros(len(chunk_lengths), dtype=np.uint8)
-    for t, (_, eoi) in enumerate(chunk_lengths):
-        if block_count + t == loop_start_block:
-            flags[t] |= LOOP_START
-        if (args.flags & ca.FLAG_SPU_ENABLE_LOOP) and eoi:
-            flags[t] |= LOOP_REPEAT
-    blocks = streams.pack_spu_blocks(headers[0], nibbles[0], flags)
+    # Batch-runner capture/replay expects one unit encode per file.
+    group = len(chunk_lengths) if unit_encoder \
+        is not streams.encode_unit_streams else SPU_CHUNK_BLOCKS
     progress = Progress(args)
-    for t in range(blocks.shape[0]):
-        output.write(blocks[t].tobytes())
-        # Pre-increment counter, like the reference's for-increment
-        # (filefmt.c:237,259-268).
-        progress.print_spu(block_count, args.audio_frequency)
-        block_count += 1
+    prev1 = prev2 = None
+    base = 0
+    while base < len(chunk_lengths):
+        part = chunk_lengths[base:base + group]
+        pcm = source.take_audio(int(sum(ln for ln, _ in part)))
+        offsets, limits = streams.chunk_unit_layout(
+            [ln for ln, _ in part])
+        headers, nibbles, prev1, prev2 = unit_encoder(
+            pcm.astype(np.int32)[None, :], offsets[None], limits[None],
+            ops.SPU_FILTER_COUNT, ops.SHIFT_RANGE_4BPS, prev1=prev1,
+            prev2=prev2)
+        flags = np.zeros(len(part), dtype=np.uint8)
+        for t, (_, eoi) in enumerate(part):
+            if block_count + t == loop_start_block:
+                flags[t] |= LOOP_START
+            if (args.flags & ca.FLAG_SPU_ENABLE_LOOP) and eoi:
+                flags[t] |= LOOP_REPEAT
+        blocks = streams.pack_spu_blocks(headers[0], nibbles[0], flags)
+        for t in range(blocks.shape[0]):
+            output.write(blocks[t].tobytes())
+            # Pre-increment counter, like the reference's for-increment
+            # (filefmt.c:237,259-268).
+            progress.print_spu(block_count, args.audio_frequency)
+            block_count += 1
+        base += len(part)
 
     if not (args.flags & ca.FLAG_SPU_ENABLE_LOOP):
         trap = bytearray(BLOCK_SIZE)
@@ -108,6 +127,8 @@ def encode_file_spu(args, dec, output, unit_encoder=None):
     if args.format == ca.FORMAT_VAG:
         output.seek(0)
         output.write(write_vag_header(args, block_count * BLOCK_SIZE))
+    if hasattr(dec, "close"):
+        dec.close()
 
 
 def encode_file_spui(args, dec, output, unit_encoder=None):
@@ -129,7 +150,10 @@ def encode_file_spui(args, dec, output, unit_encoder=None):
         print("Warning: ignoring loop point as there is no header to store "
               "it in", file=sys.stderr)
 
-    # Windowing pass: per-chunk lengths and end_of_input status.
+    # Windowing pass (counts only): per-chunk lengths and end_of_input.
+    from ..io import ingest
+
+    source = ingest.source_for(dec)
     chunks = []
     first = True
     while dec.ensure_av_data(samples_per_chunk * ch, 0):
@@ -141,43 +165,52 @@ def encode_file_spui(args, dec, output, unit_encoder=None):
         dec.retire_av_data(ln * ch, 0)
         first = False
 
-    pcm = dec.audio
-    per_channel = np.stack([pcm[c::ch] for c in range(ch)]) \
-        if ch > 1 else pcm[None, :]
-    offsets, limits = streams.chunk_unit_layout([c[0] for c in chunks])
-    headers, nibbles, _, _ = unit_encoder(
-        per_channel.astype(np.int32), np.broadcast_to(offsets, (ch,) +
-                                                      offsets.shape),
-        np.broadcast_to(limits, (ch,) + limits.shape),
-        ops.SPU_FILTER_COUNT, ops.SHIFT_RANGE_4BPS)
-    blocks = [streams.pack_spu_blocks(headers[c], nibbles[c])
-              for c in range(ch)]
-
+    units_per_chunk = max(1, samples_per_chunk // SAMPLES_PER_BLOCK)
+    group = len(chunks) if unit_encoder \
+        is not streams.encode_unit_streams else \
+        max(1, SPU_CHUNK_BLOCKS // units_per_chunk)
     progress = Progress(args)
-    unit_pos = 0
-    for ci, (ln, dummy, eoi) in enumerate(chunks):
-        n_units = (ln + SAMPLES_PER_BLOCK - 1) // SAMPLES_PER_BLOCK
-        chunk = np.zeros(chunk_size, dtype=np.uint8)
-        base = BLOCK_SIZE if dummy else 0
-        for c in range(ch):
-            dst = c * args.audio_interleave + base
-            length = n_units * BLOCK_SIZE
-            if length > 0:
-                chunk[dst:dst + length] = \
-                    blocks[c][unit_pos:unit_pos + n_units].reshape(-1)
-                last = dst + length - BLOCK_SIZE
-                if (args.flags & ca.FLAG_SPU_ENABLE_LOOP) or \
-                        (eoi and args.audio_loop_point >= 0):
-                    chunk[last + 1] = LOOP_REPEAT
-                elif eoi:
-                    # filefmt.c:352-357: zero-fill and repurpose the last
-                    # block as the loop trap.
-                    chunk[last:last + BLOCK_SIZE] = 0
-                    chunk[last + 1] = LOOP_TRAP
-        unit_pos += n_units
-        output.write(chunk.tobytes())
-        # Pre-increment counter (filefmt.c:364-374).
-        progress.print_spui(ci, samples_per_chunk, args.audio_frequency)
+    prev1 = prev2 = None
+    for gbase in range(0, len(chunks), group):
+        part = chunks[gbase:gbase + group]
+        pcm = source.take_audio(int(sum(ln for ln, _, _ in part)) * ch)
+        per_channel = np.stack([pcm[c::ch] for c in range(ch)]) \
+            if ch > 1 else pcm[None, :]
+        offsets, limits = streams.chunk_unit_layout(
+            [ln for ln, _, _ in part])
+        headers, nibbles, prev1, prev2 = unit_encoder(
+            per_channel.astype(np.int32),
+            np.broadcast_to(offsets, (ch,) + offsets.shape),
+            np.broadcast_to(limits, (ch,) + limits.shape),
+            ops.SPU_FILTER_COUNT, ops.SHIFT_RANGE_4BPS, prev1=prev1,
+            prev2=prev2)
+        blocks = [streams.pack_spu_blocks(headers[c], nibbles[c])
+                  for c in range(ch)]
+        unit_pos = 0
+        for ci, (ln, dummy, eoi) in enumerate(part):
+            n_units = (ln + SAMPLES_PER_BLOCK - 1) // SAMPLES_PER_BLOCK
+            chunk = np.zeros(chunk_size, dtype=np.uint8)
+            base = BLOCK_SIZE if dummy else 0
+            for c in range(ch):
+                dst = c * args.audio_interleave + base
+                length = n_units * BLOCK_SIZE
+                if length > 0:
+                    chunk[dst:dst + length] = \
+                        blocks[c][unit_pos:unit_pos + n_units].reshape(-1)
+                    last = dst + length - BLOCK_SIZE
+                    if (args.flags & ca.FLAG_SPU_ENABLE_LOOP) or \
+                            (eoi and args.audio_loop_point >= 0):
+                        chunk[last + 1] = LOOP_REPEAT
+                    elif eoi:
+                        # filefmt.c:352-357: zero-fill and repurpose the
+                        # last block as the loop trap.
+                        chunk[last:last + BLOCK_SIZE] = 0
+                        chunk[last + 1] = LOOP_TRAP
+            unit_pos += n_units
+            output.write(chunk.tobytes())
+            # Pre-increment counter (filefmt.c:364-374).
+            progress.print_spui(gbase + ci, samples_per_chunk,
+                                args.audio_frequency)
 
     if args.format == ca.FORMAT_VAGI:
         header = bytearray(header_size)
@@ -185,3 +218,5 @@ def encode_file_spui(args, dec, output, unit_encoder=None):
             args, len(chunks) * args.audio_interleave)
         output.seek(0)
         output.write(bytes(header))
+    if hasattr(dec, "close"):
+        dec.close()

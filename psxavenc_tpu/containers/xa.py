@@ -155,13 +155,62 @@ class XaAudioSectors:
             buffer[sub + 6] |= SUBMODE_EOF
 
 
+# Audio sectors per batched device call in the chunked feed. The default
+# (used by the .str muxer) keeps the streaming tier's A/V FIFOs small;
+# standalone audio encodes use the large chunk — fetch latency dominates
+# small device calls, and ~2 MB of PCM per chunk still bounds memory.
+AUDIO_CHUNK_SECTORS = 64
+AUDIO_CHUNK_SECTORS_SOLO = 1024
+
+
+class AudioSectorFeed:
+    """Chunked XA audio-sector encoder: batches of chunk_sectors sectors
+    per device call with exact ADPCM state threading across chunks (the
+    reference's persistent psx_audio_encoder_state_t), pulling PCM
+    incrementally from a take_audio source."""
+
+    def __init__(self, args, source, audio_lengths, chunk_sectors=None,
+                 unit_encoder=None):
+        self.args = args
+        self.source = source
+        self.lengths = audio_lengths
+        self.chunk = chunk_sectors or AUDIO_CHUNK_SECTORS
+        self.unit_encoder = unit_encoder
+        ch = args.audio_channels
+        self.ch = ch
+        self.prev1 = np.zeros(ch, np.int32)
+        self.prev2 = np.zeros(ch, np.int32)
+        self.next_idx = 0
+        self.cache = {}
+
+    def sector(self, idx):
+        """-> (XaAudioSectors, local index) owning sector ``idx``."""
+        while idx >= self.next_idx:
+            hi = min(self.next_idx + self.chunk, len(self.lengths))
+            lens = self.lengths[self.next_idx:hi]
+            pcm = self.source.take_audio(int(sum(lens)) * self.ch)
+            xs = XaAudioSectors(self.args, pcm, lens, self.prev1,
+                                self.prev2,
+                                unit_encoder=self.unit_encoder)
+            self.prev1, self.prev2 = xs.final_state
+            for i in range(len(lens)):
+                self.cache[self.next_idx + i] = (xs, i)
+            self.next_idx = hi
+        return self.cache[idx]
+
+    def evict(self, idx):
+        self.cache.pop(idx, None)
+
+
 def encode_file_xa(args, dec, output, unit_encoder=None):
     """filefmt.c:167-210."""
+    from ..io import ingest
+
     ch = args.audio_channels
     sps = xa_samples_per_sector(args)
     sector_size = xa_sector_size(args)
 
-    pcm = dec.audio_window()
+    source = ingest.source_for(dec)
     lengths, eois = [], []
     while dec.ensure_av_data(sps * ch, 0):
         ln = min(dec.audio_sample_count // ch, sps)
@@ -169,12 +218,22 @@ def encode_file_xa(args, dec, output, unit_encoder=None):
         eois.append(dec.end_of_input)
         dec.retire_av_data(ln * ch, 0)
 
-    sectors = XaAudioSectors(args, pcm, lengths, unit_encoder=unit_encoder)
+    # Batch-runner capture/replay expects one unit encode per file; the
+    # solo chunking bounds memory (streaming tier) at a few more device
+    # calls.
+    chunk = len(lengths) if unit_encoder is not None \
+        else AUDIO_CHUNK_SECTORS_SOLO
+    feed = AudioSectorFeed(args, source, lengths, chunk_sectors=chunk,
+                           unit_encoder=unit_encoder)
     buffer = np.zeros(2352, dtype=np.uint8)
     progress = Progress(args)
-    for s in range(sectors.count):
-        sectors.write_sector(buffer, s, s, eois[s])
+    for s in range(len(lengths)):
+        xs, i = feed.sector(s)
+        xs.write_sector(buffer, i, s, eois[s])
+        feed.evict(s)
         output.write(buffer[:sector_size].tobytes())
         # The reference prints the pre-increment loop counter
         # (filefmt.c:177,199-208).
         progress.print_xa(s, sps, args.audio_frequency)
+    if hasattr(dec, "close"):
+        dec.close()

@@ -162,6 +162,9 @@ class StreamingDecoder:
             except Exception:  # noqa: BLE001 — smpl probe only
                 pass
         self._stream = None
+        self.end_of_input = False
+        self._virt_audio_pos = 0
+        self._virt_video_pos = 0
         # instrumentation: high-water marks (bounded-memory assertions)
         self.peak_buffered_frames = 0
         self.peak_buffered_audio = 0
@@ -173,14 +176,39 @@ class StreamingDecoder:
         return bool(args.flags & FLAG_BS_IGNORE_ASPECT)
 
     # The muxers schedule from totals (the whole-file Decoder's counts are
-    # also totals at schedule time — nothing has been retired yet).
+    # also totals at schedule time — nothing has been retired yet); the
+    # audio containers' windowing loops additionally drive the virtual
+    # ensure/retire below (counts only, no data — the same observable
+    # decoding.c:510-559 semantics as the whole-file Decoder) and then
+    # pull samples in chunks via take_audio.
     @property
     def audio_sample_count(self):
-        return self._audio_total
+        return self._audio_total - self._virt_audio_pos
 
     @property
     def video_frame_count(self):
-        return self._video_total
+        return self._video_total - self._virt_video_pos
+
+    def ensure_av_data(self, needed_audio, needed_video):
+        a = self.audio_sample_count
+        v = self.video_frame_count
+        if not self.end_of_input:
+            if (needed_audio and a <= needed_audio) or \
+               (needed_video and v <= needed_video):
+                self.end_of_input = True
+        return (bool(a) or not needed_audio) and \
+               (bool(v) or not needed_video)
+
+    def retire_av_data(self, audio_samples, video_frames):
+        assert audio_samples <= self.audio_sample_count
+        assert video_frames <= self.video_frame_count
+        self._virt_audio_pos += audio_samples
+        self._virt_video_pos += video_frames
+
+    def reset(self):
+        self._virt_audio_pos = 0
+        self._virt_video_pos = 0
+        self.end_of_input = False
 
     def _ensure_stream(self):
         if self._stream is None:
@@ -221,6 +249,39 @@ class StreamingDecoder:
         if self._stream is not None:
             self._stream.close()
             self._stream = None
+
+
+class WholeFileSource:
+    """Adapts a fully-decoded Decoder to the incremental take_audio /
+    take_frames source API the chunked muxers consume (StreamingDecoder
+    implements the same interface over the native packet stream)."""
+
+    def __init__(self, dec):
+        self._audio = dec.audio_window() if dec.has_audio \
+            else np.zeros(0, np.int16)
+        self._frames = dec.video_window() if dec.has_video \
+            else np.zeros((0, 0), np.uint8)
+        self._apos = 0
+        self._fpos = 0
+
+    def take_audio(self, n_values):
+        out = self._audio[self._apos:self._apos + n_values]
+        self._apos += n_values
+        if len(out) < n_values:  # zero-pad past EOF, like the stream
+            out = np.concatenate(
+                [out, np.zeros(n_values - len(out), np.int16)])
+        return out
+
+    def take_frames(self, k):
+        out = self._frames[self._fpos:self._fpos + k]
+        self._fpos += k
+        assert len(out) == k
+        return out
+
+
+def source_for(dec):
+    """The incremental data source for a decoder (itself if streaming)."""
+    return dec if hasattr(dec, "take_frames") else WholeFileSource(dec)
 
 
 def _q15_mix(samples, matrix):
@@ -660,17 +721,17 @@ _STREAM_AUTO_BYTES = 512 << 20
 
 
 def _streaming_wanted(args, flags, path):
-    """Decide the ingest tier for video formats: bounded-memory streaming
-    (StreamingDecoder) vs whole-file. PSXAVENC_STREAMING=1 forces it,
-    =0 disables it; the default ("auto") streams when the container
-    duration estimates the decoded A/V above ~512 MB (the whole-file tier
-    would hold all of it in RAM; the reference never holds more than a
-    sliding window, decoding.c:510-559)."""
+    """Decide the ingest tier: bounded-memory streaming (StreamingDecoder)
+    vs whole-file. PSXAVENC_STREAMING=1 forces it, =0 disables it; the
+    default ("auto") streams when the container duration estimates the
+    decoded A/V above ~512 MB (the whole-file tier would hold all of it
+    in RAM; the reference never holds more than a sliding window,
+    decoding.c:510-559). All container formats support it (strspu's
+    audio rejection happens downstream either way)."""
     from .. import cli_args as ca
     from ..native import ingest_ext
 
-    if getattr(args, "format", None) not in (
-            ca.FORMAT_STR, ca.FORMAT_STRCD, ca.FORMAT_STRV, ca.FORMAT_SBS):
+    if getattr(args, "format", None) in (None, ca.FORMAT_INVALID):
         return False
     mode = os.environ.get("PSXAVENC_STREAMING", "auto").lower()
     if mode in ("0", "off", "no"):

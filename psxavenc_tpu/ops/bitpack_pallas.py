@@ -220,6 +220,113 @@ def _gather_kernel(j0_ref, nwin_ref, e0_ref, vals_ref, out_ref, *,
     jax.lax.fori_loop(0, ntiles, tile_body, 0)
 
 
+_MW = 64  # candidate window for the MXU placement kernel
+
+
+def _mxu_place_kernel(j0_ref, nwin_ref, e0_ref, bytes_ref, out_ref, *,
+                      ntiles):
+    """Output-stationary placement via one-hot matmuls: per tile, the
+    candidate window's 36 byte-planes (9 u32 contribution slots x 4
+    bytes) spread to their lanes with a (window, 256) one-hot of the
+    u32 offsets on the MXU, then 9 static lane-rolls reassemble the
+    i-slots and 4 shifts recombine the bytes. Contributions are
+    bit-disjoint across candidates, so every per-(plane, lane) sum stays
+    <= 255 — exact in bf16/f32."""
+    b = pl.program_id(0)
+    lanes256 = jax.lax.broadcasted_iota(jnp.int32, (_MW, 256), 1)
+
+    def tile_body(t, carry):
+        j0 = pl.multiple_of(j0_ref[b, t], 8)
+        nw = nwin_ref[b, t]
+        tile_start = t * 128
+
+        def win_body(w, g):
+            j = pl.multiple_of(j0 + w * _MW, 8)
+            e = e0_ref[0, pl.ds(j, _MW), 0].reshape(_MW, 1)
+            vb = bytes_ref[0, pl.ds(j, _MW), :]          # (_MW, 36) bf16
+            onehot = (e - tile_start + 8 == lanes256).astype(jnp.bfloat16)
+            return g + jax.lax.dot_general(
+                vb, onehot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (36, 256)
+
+        g = jax.lax.fori_loop(
+            0, nw, win_body, jnp.zeros((36, 256), jnp.float32))
+        gi = g.astype(jnp.int32)
+        # Slot i's bytes live at lanes e+8; they belong at output lane
+        # e+i, i.e. roll left by (8 - i).
+        acc = jnp.zeros((4, 256), jnp.int32)
+        for i in range(9):
+            sh = (256 - (8 - i)) % 256
+            part = gi[4 * i:4 * i + 4]
+            acc = acc + (pltpu.roll(part, sh, 1) if sh else part)
+        word = (acc[0:1] | (acc[1:2] << 8) | (acc[2:3] << 16)
+                | (acc[3:4] << 24))
+        out_ref[0, 0, pl.ds(pl.multiple_of(t * 128, 128), 128)] = \
+            word[0, :128]
+        return carry
+
+    jax.lax.fori_loop(0, ntiles, tile_body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("capacity_words", "interpret"))
+def place_streams_mxu_pallas(streams, goff, total_bits, *,
+                             capacity_words, interpret=False):
+    """MXU variant of :func:`place_streams_gather_pallas` (same args and
+    bit-identical output): the compare/select spreading runs as one-hot
+    matmuls instead of 9 per-candidate lane selects."""
+    from . import bitpack as bp
+
+    B, NBe, bcap = streams.shape
+    assert bcap == BCAP
+    vals32, e0 = bp.streams_to_u32(streams, goff)         # (B, NBe, 9)
+    by = jnp.stack([(vals32 >> (8 * k)) & 0xFF for k in range(4)],
+                   axis=-1)                               # (B, NBe, 9, 4)
+    vb = by.reshape(B, NBe, 36).astype(jnp.bfloat16)
+
+    cap32 = (capacity_words + 1) // 2
+    ntiles = -(-cap32 // 128)
+    bounds = jnp.arange(ntiles, dtype=jnp.int32) * 128
+    j0 = jax.vmap(lambda e: jnp.searchsorted(e, bounds - 8,
+                                             side="left"))(e0)
+    j0 = j0 & ~7
+    j1 = jax.vmap(lambda e: jnp.searchsorted(e, bounds + 128,
+                                             side="left"))(e0)
+    nwin = -(-(j1 - j0) // _MW)
+
+    pad = _MW * 8
+    vb = jnp.pad(vb, ((0, 0), (0, pad), (0, 0)))
+    e0p = jnp.pad(e0, ((0, 0), (0, pad)),
+                  constant_values=jnp.int32(1 << 30))
+
+    out = pl.pallas_call(
+        functools.partial(_mxu_place_kernel, ntiles=ntiles),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, NBe + pad, 1),
+                             lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NBe + pad, 36),
+                             lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, ntiles * 128),
+                                   lambda b, *_: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 1, ntiles * 128), jnp.int32),
+        interpret=interpret,
+    )(j0.astype(jnp.int32), nwin.astype(jnp.int32),
+      e0p[..., None], vb)
+
+    out32 = out[:, 0].astype(jnp.uint32)[:, :cap32]
+    words = jnp.stack([out32 & 0xFFFF, out32 >> 16], axis=-1).reshape(
+        B, -1)
+    return words[:, :capacity_words].astype(jnp.int32)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("capacity_words", "interpret"))
 def place_streams_gather_pallas(streams, goff, total_bits, *,

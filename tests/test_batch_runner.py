@@ -68,12 +68,16 @@ def test_batch_grouping_identical_and_faster(tmp_path):
                 for j in jobs_s]
         batch.run_jobs(warm, group=grp, quiet=True)
 
-    t0 = time.monotonic()
-    rcs_s = batch.run_jobs(jobs_s, group=False, quiet=True)
-    t_serial = time.monotonic() - t0
-    t0 = time.monotonic()
-    rcs_g = batch.run_jobs(jobs_g, group=True, quiet=True)
-    t_grouped = time.monotonic() - t0
+    # Best of two passes each: a single CI run can eat an OS scheduling
+    # hiccup that dwarfs the structural difference.
+    t_serial = t_grouped = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        rcs_s = batch.run_jobs(jobs_s, group=False, quiet=True)
+        t_serial = min(t_serial, time.monotonic() - t0)
+        t0 = time.monotonic()
+        rcs_g = batch.run_jobs(jobs_g, group=True, quiet=True)
+        t_grouped = min(t_grouped, time.monotonic() - t0)
     assert all(r == 0 for r in rcs_s + rcs_g)
 
     for jg, js in zip(jobs_g, jobs_s):

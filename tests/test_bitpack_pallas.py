@@ -123,3 +123,29 @@ def test_place_streams_gather_pallas_interpret(seed, nbe):
     assert np.array_equal(np.asarray(got),
                           np.asarray(want).astype(np.int32)), \
         np.argwhere(np.asarray(got) != np.asarray(want))[:8]
+
+
+@pytest.mark.parametrize("seed,nbe", [(8, 24), (9, 120)])
+def test_place_streams_mxu_pallas_interpret(seed, nbe):
+    """MXU one-hot-matmul placement == the XLA scatter placement."""
+    rng = np.random.default_rng(seed)
+    codes, bits = _random_frame_symbols(rng, nbe)
+    offs = np.cumsum(bits, axis=1) - bits
+    block_bits = bits.sum(axis=1)
+    goff = np.cumsum(block_bits) - block_bits
+    total = int(bits.sum())
+    cap = (total + 15) // 16 + 4
+
+    streams = bitpack._pack_block_streams(
+        jnp.asarray(codes), jnp.asarray(bits), jnp.asarray(offs),
+        bcap=bitpack.BLOCK_CAP_WORDS)
+    want = bitpack._place_streams(streams, jnp.asarray(goff),
+                                  capacity_words=cap)
+    got = bpk.place_streams_mxu_pallas(
+        streams[None].astype(jnp.int32),
+        jnp.asarray(goff, jnp.int32)[None],
+        jnp.asarray([total], jnp.int32),
+        capacity_words=cap, interpret=True)[0]
+    assert np.array_equal(np.asarray(got),
+                          np.asarray(want).astype(np.int32)), \
+        np.argwhere(np.asarray(got) != np.asarray(want))[:8]
