@@ -241,6 +241,25 @@ def _validate_pallas():
         assert np.array_equal(np.asarray(ox[k]), np.asarray(op[k])), k
     log("pallas scale-sweep kernel: bit-exact vs XLA sweep on this device")
 
+    # Full fused packers on device, v2 and v3dc (the emit+pack and
+    # placement kernels are codec-agnostic; this pins the composed
+    # paths): every packer must equal the XLA "blocks" path bytewise.
+    for codec in (bsm.BS_V2, bsm.BS_V3DC):
+        base = api.bs_encode_frames_packed(
+            frames, budgets, codec=codec, width=320, height=240,
+            capacity_words=(18144 - 8) // 2, pallas_sweep=True,
+            packer="blocks")
+        for packer in ("fused", "fused_gather", "fused_mxu"):
+            alt = api.bs_encode_frames_packed(
+                frames, budgets, codec=codec, width=320, height=240,
+                capacity_words=(18144 - 8) // 2, pallas_sweep=True,
+                packer=packer)
+            assert np.array_equal(np.asarray(base["words"]),
+                                  np.asarray(alt["words"])), \
+                (codec, packer)
+    log("fused packers (incl. MXU placement): bit-exact on device, "
+        "v2 + v3dc")
+
     # Bit-packer kernels (phase-1 pack + sliding-window placement).
     s = ox["codes"].shape[2]
     eofc = jnp.zeros((8, 1, s), jnp.uint32).at[:, 0, 0].set(0x1FF)
