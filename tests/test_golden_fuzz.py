@@ -90,3 +90,48 @@ def test_fuzz_video(tmp_path, oracle, seed):
     ref, ours = _both(tmp_path, avi, args,
                       "sbs" if fmt == "sbs" else "str")
     assert ref == ours, args
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_streaming(tmp_path, oracle, monkeypatch, seed):
+    """Random A/V str configs through the STREAMING tier with tiny encode
+    chunks (maximal state-threading stress), vs the oracle."""
+    from psxavenc_tpu.containers import strf
+    from psxavenc_tpu.containers import xa as xamod
+
+    monkeypatch.setenv("PSXAVENC_STREAMING", "1")
+    monkeypatch.setattr(xamod, "AUDIO_CHUNK_SECTORS", 3)
+    monkeypatch.setattr(strf, "VIDEO_BATCH_FRAMES", 5)
+    rng = np.random.default_rng(6000 + seed)
+    fmt = str(rng.choice(["str", "strcd"]))
+    codec = str(rng.choice(["v2", "v3", "v3dc"]))
+    w = 16 * int(rng.integers(2, 6))
+    h = 16 * int(rng.integers(2, 5))
+    nf = int(rng.integers(4, 16))
+    fps = int(rng.choice([10, 15]))
+    freq = int(rng.choice([18900, 37800]))
+    ch = int(rng.choice([1, 2]))
+    bits = int(rng.choice([4, 8]))
+    args = ["-t", fmt, "-v", codec, "-s", f"{w}x{h}", "-r", fps,
+            "-f", freq, "-c", ch, "-b", bits]
+    frames = rand_frames(w, h, nf, seed=7000 + seed)
+    pcm = rand_pcm(int(freq * (nf / fps + 0.5)), channels=ch,
+                   seed=8000 + seed)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    avi = write_avi_sized(tmp_path / "i.avi", w, h, frames, fps,
+                          audio=pcm, audio_rate=freq)
+    ref, ours = _both(tmp_path, avi, args, "str")
+    assert len(ref) == len(ours), args
+    ssize = 2352 if fmt == "strcd" else 2336
+    if fmt == "strcd":
+        mask = list(range(2328, 2352)) + list(range(0x81C, 0x930))
+    else:
+        mask = [3, 7] + list(range(2056, 2336))
+    if bits == 8:
+        payload = 24 if fmt == "strcd" else 8
+        mask = list(mask)
+        for b in range(18):
+            mask += list(range(payload + b * 128 + 8,
+                               payload + b * 128 + 16))
+    assert _normalize(ref, ssize, mask) == _normalize(ours, ssize, mask), \
+        args

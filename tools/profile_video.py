@@ -158,8 +158,10 @@ def main():
     if on_tpu:
         dt = min(dt, timed("FULL fused (scatter place)",
                            make_full("fused"), iters))
-        dt = min(dt, timed("FULL fused_gather (default)",
+        dt = min(dt, timed("FULL fused_gather",
                            make_full("fused_gather"), iters))
+        dt = min(dt, timed("FULL fused_mxu (default)",
+                           make_full("fused_mxu"), iters))
         print(f"device-side video: {batch / dt:.1f} fps")
 
 
