@@ -54,26 +54,6 @@ def spu_encode_blocks(units, limits, prev1, prev2):
     return blocks, p1, p2
 
 
-@jax.jit
-def spu_encode_blocks_pallas(units, limits, prev1, prev2):
-    """SPU block encoding via the fused Pallas kernel (ops/adpcm_pallas):
-    (B, T, 28) -> (B, T, 16) uint8 blocks. B must be a multiple of 128."""
-    from .ops import adpcm_pallas as pk
-
-    headers, words, p1, p2 = pk.encode_units_pallas(
-        units, limits, prev1, prev2,
-        filter_count=adpcm_ops.SPU_FILTER_COUNT,
-        shift_range=adpcm_ops.SHIFT_RANGE_4BPS)
-    B, T = headers.shape
-    wb = words.astype(jnp.uint32)
-    data = jnp.stack([(wb >> (8 * j)) & 0xFF for j in range(4)],
-                     axis=-1).reshape(B, T, 16)[:, :, :14].astype(jnp.uint8)
-    blocks = jnp.concatenate(
-        [headers.astype(jnp.uint8)[..., None],
-         jnp.zeros((B, T, 1), jnp.uint8), data], axis=-1)
-    return blocks, p1[:, -1], p2[:, -1]
-
-
 @partial(jax.jit, static_argnames=("bits8",))
 def xa_encode_batch(units, limits, prev1, prev2, *, bits8=False):
     """XA-ADPCM unit batch (4 filters; 4- or 8-bit)."""

@@ -18,7 +18,6 @@ Ratios not shipped in data/swr_banks.npz fall back to the documented
 scipy approximation (PARITY.md).
 """
 
-import math
 import pathlib
 
 import numpy as np
@@ -41,10 +40,6 @@ def _load():
                 _banks[(src, dst)] = (z[f"{key}_starts"],
                                       z[f"{key}_taps"], w, l, m, d)
     return _banks
-
-
-def available(src_rate, dst_rate):
-    return (src_rate, dst_rate) in _load()
 
 
 def _bank_for(src_rate, dst_rate):
