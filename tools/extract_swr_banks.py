@@ -28,9 +28,14 @@ from psxavenc_tpu.native import ingest_ext  # noqa: E402
 from psxavenc_tpu.utils.synth import write_wav  # noqa: E402
 
 RATIOS = [
+    # every common source rate to the XA rates
+    (8000, 37800), (8000, 18900), (11025, 37800), (11025, 18900),
+    (16000, 37800), (16000, 18900), (22050, 37800), (22050, 18900),
+    (24000, 37800), (24000, 18900), (32000, 37800), (32000, 18900),
     (44100, 37800), (44100, 18900), (48000, 37800), (48000, 18900),
+    # common SPU/VAG sample-rate conversions
     (44100, 22050), (48000, 22050), (48000, 44100), (32000, 44100),
-    (22050, 44100), (37800, 44100),
+    (22050, 44100), (37800, 44100), (44100, 11025), (48000, 11025),
 ]
 
 OUT = (pathlib.Path(__file__).resolve().parents[1] / "psxavenc_tpu"
@@ -155,15 +160,26 @@ def build_bank(src, dst):
 def main():
     assert ingest_ext.load() is not None, "needs the native extension"
     out = {}
+    shipped = skipped = 0
     for src, dst in RATIOS:
-        starts, taps, W, L, M, D = build_bank(src, dst)
+        try:
+            starts, taps, W, L, M, D = build_bank(src, dst)
+        except AssertionError as e:
+            # Verification is the shipping gate: a ratio whose replay is
+            # not EXACTLY libswresample is not shipped (it would fall
+            # back to the documented scipy approximation instead).
+            print(f"SKIP {src}->{dst}: {e}")
+            skipped += 1
+            continue
         key = f"{src}_{dst}"
         out[f"{key}_starts"] = starts
         out[f"{key}_taps"] = taps
         out[f"{key}_meta"] = np.array([W, L, M, D], np.int64)
+        shipped += 1
     OUT.parent.mkdir(exist_ok=True)
     np.savez_compressed(OUT, **out)
-    print(f"wrote {OUT} ({OUT.stat().st_size} bytes)")
+    print(f"wrote {OUT} ({OUT.stat().st_size} bytes): "
+          f"{shipped} banks, {skipped} skipped")
 
 
 if __name__ == "__main__":
