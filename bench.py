@@ -365,6 +365,13 @@ def main():
     log(f"reference: video {ref['video_fps']:.2f} fps, "
         f"audio {ref['audio_msps']:.2f} Msamples/s")
 
+    # CLI-path audio first: its wall-clock is dominated by per-transfer
+    # tunnel latency, which degrades for minutes after the heavy video
+    # loops saturate the link.
+    audio_cli = measure_audio_cli_path() if dev.platform == "tpu" else {}
+    if audio_cli:
+        log(f"ours: CLI-path audio pallas {audio_cli['pallas']:.1f} vs "
+            f"xla {audio_cli['xla']:.1f} Msamples/s")
     video_fps = measure_ours_video()
     log(f"ours: video {video_fps:.2f} fps (e2e tunnel)")
     video_dev_fps = measure_video_device() if dev.platform == "tpu" \
@@ -372,10 +379,6 @@ def main():
     log(f"ours: video {video_dev_fps:.2f} fps (device-side)")
     audio_msps = measure_ours_audio()
     log(f"ours: audio {audio_msps:.2f} Msamples/s")
-    audio_cli = measure_audio_cli_path() if dev.platform == "tpu" else {}
-    if audio_cli:
-        log(f"ours: CLI-path audio pallas {audio_cli['pallas']:.1f} vs "
-            f"xla {audio_cli['xla']:.1f} Msamples/s")
 
     details = {
         "device": str(dev),
