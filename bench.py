@@ -241,23 +241,25 @@ def _validate_pallas():
         assert np.array_equal(np.asarray(ox[k]), np.asarray(op[k])), k
     log("pallas scale-sweep kernel: bit-exact vs XLA sweep on this device")
 
-    # Full fused packers on device, v2 and v3dc (the emit+pack and
+    # The default fused packer on device, v2 and v3dc (the emit+pack and
     # placement kernels are codec-agnostic; this pins the composed
-    # paths): every packer must equal the XLA "blocks" path bytewise.
+    # path): must equal the XLA "blocks" path bytewise. The alternate
+    # packers (fused/fused_gather/blocks_pallas) are interpret-tested in
+    # CI and their components cross-checked above; keeping them out of
+    # the device sweep bounds cold-cache bench time (each composed
+    # program is a 60-100 s remote compile).
     for codec in (bsm.BS_V2, bsm.BS_V3DC):
         base = api.bs_encode_frames_packed(
             frames, budgets, codec=codec, width=320, height=240,
             capacity_words=(18144 - 8) // 2, pallas_sweep=True,
             packer="blocks")
-        for packer in ("fused", "fused_gather", "fused_mxu"):
-            alt = api.bs_encode_frames_packed(
-                frames, budgets, codec=codec, width=320, height=240,
-                capacity_words=(18144 - 8) // 2, pallas_sweep=True,
-                packer=packer)
-            assert np.array_equal(np.asarray(base["words"]),
-                                  np.asarray(alt["words"])), \
-                (codec, packer)
-    log("fused packers (incl. MXU placement): bit-exact on device, "
+        alt = api.bs_encode_frames_packed(
+            frames, budgets, codec=codec, width=320, height=240,
+            capacity_words=(18144 - 8) // 2, pallas_sweep=True,
+            packer="fused_mxu")
+        assert np.array_equal(np.asarray(base["words"]),
+                              np.asarray(alt["words"])), codec
+    log("fused_mxu packer: bit-exact vs XLA blocks path on device, "
         "v2 + v3dc")
 
     # Bit-packer kernels (phase-1 pack + sliding-window placement).
