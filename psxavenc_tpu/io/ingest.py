@@ -286,8 +286,14 @@ def source_for(dec):
 
 def _q15_mix(samples, matrix):
     """swresample's s16 rematrix: Q15 integer coefficients with
-    round-half-up accumulation (out = (sum(in*q15) + 16384) >> 15)."""
-    q15 = np.round(np.asarray(matrix, np.float64) * 32768.0).astype(np.int64)
+    round-half-up accumulation (out = (sum(in*q15) + 16384) >> 15).
+    Integer matrices are used as-is (exact probed coefficients); float
+    matrices are rounded to Q15."""
+    m = np.asarray(matrix)
+    if m.dtype.kind == "f":
+        q15 = np.round(m * 32768.0).astype(np.int64)
+    else:
+        q15 = m.astype(np.int64)
     acc = samples.astype(np.int64) @ q15.T
     out = (acc + (1 << 14)) >> 15
     return np.clip(out, -32768, 32767).astype(np.int16)
@@ -328,7 +334,7 @@ def _swr_matrix(src_names, target_channels):
             m[0, c] = {"FL": _SQRT1_2, "FR": _SQRT1_2, "FC": 1.0,
                        "BL": slev * _SQRT1_2, "BR": slev * _SQRT1_2,
                        "SL": slev * _SQRT1_2, "SR": slev * _SQRT1_2,
-                       "BC": slev, "LFE": 0.0}[name]
+                       "BC": slev * _SQRT1_2, "LFE": 0.0}[name]
     maxsum = np.abs(m).sum(axis=1).max()
     if maxsum > 1.0:
         m /= maxsum
@@ -339,20 +345,48 @@ def _remix_channels(samples, target_channels):
     """swresample-compatible channel remix (decoding.c:216-247).
 
     Bit-exact for passthrough and for default-layout sources mixed down/up
-    to mono or stereo (the configurations the reference CLI can request);
-    >2-channel targets with mismatched sources are best-effort (the
-    reference leaves their order unspecified, decoding.c:226).
+    to mono or stereo (the configurations the reference CLI can request):
+    the Q15 matrices are probed from the real library and shipped next to
+    the tap banks (swr_exact.mix_matrix), because swr's float pipeline
+    lands +-1 Q15 step off a double-precision recomputation on some
+    layouts. >2-channel targets with mismatched sources are best-effort
+    (the reference leaves their order unspecified, decoding.c:226).
     """
     src = samples.shape[1]
     if src == target_channels:
         return samples
-    names = _DEFAULT_LAYOUTS.get(src)
-    if target_channels in (1, 2) and names is not None:
-        return _q15_mix(samples, _swr_matrix(names, target_channels))
+    if target_channels in (1, 2):
+        from . import swr_exact
+
+        m = swr_exact.mix_matrix(src, target_channels)
+        if m is None and _DEFAULT_LAYOUTS.get(src) is not None:
+            m = _swr_matrix(_DEFAULT_LAYOUTS[src], target_channels)
+        if m is not None:
+            return _q15_mix(samples, m)
     out = np.zeros((samples.shape[0], target_channels), dtype=np.int16)
     out[:, :min(src, target_channels)] = samples[:, :min(src,
                                                          target_channels)]
     return out
+
+
+def _remix_resample(samples, src_rate, target_channels, dst_rate):
+    """Remix + resample in libswresample's order.
+
+    swr applies the rematrix and the resampler in a data-dependent order:
+    resample FIRST when downmixing (in_ch > out_ch, every rate pair) or
+    when upmixing with out_ch*in_rate < in_ch*out_rate; rematrix first
+    otherwise. The order is observable in output bytes (both stages round
+    to int16), verified against libswresample over a 46-configuration
+    grid (tools/extract_swr_banks.py probes; tests/test_golden_fallback).
+    """
+    src_ch = samples.shape[1]
+    resample_first = (src_ch > target_channels or
+                      target_channels * src_rate < src_ch * dst_rate)
+    if resample_first:
+        return _remix_channels(_resample(samples, src_rate, dst_rate),
+                               target_channels)
+    return _resample(_remix_channels(samples, target_channels),
+                     src_rate, dst_rate)
 
 
 def _resample(samples, src_rate, dst_rate):
@@ -821,9 +855,9 @@ def open_av_data(args, flags):
         elif ext == ".wav" and not force_ffmpeg_audio:
             w = wavmod.read_wav(path)
             _warn_channels(args, w.samples.shape[1])
-            pcm = _remix_channels(w.samples, args.audio_channels)
-            pcm = _resample(pcm, w.sample_rate, args.audio_frequency)
-            audio = pcm
+            audio = _remix_resample(w.samples, w.sample_rate,
+                                    args.audio_channels,
+                                    args.audio_frequency)
             if w.loop_start_offset >= 0:
                 # decoding.c:334-336: ms from the *source* sample rate.
                 pts = w.loop_start_offset / w.sample_rate
@@ -833,8 +867,9 @@ def open_av_data(args, flags):
         elif avi is not None and avi.audio is not None \
                 and not force_ffmpeg_audio:
             _warn_channels(args, avi.audio.shape[1])
-            pcm = _remix_channels(avi.audio, args.audio_channels)
-            audio = _resample(pcm, avi.audio_rate, args.audio_frequency)
+            audio = _remix_resample(avi.audio, avi.audio_rate,
+                                    args.audio_channels,
+                                    args.audio_frequency)
         else:
             if ext == ".wav" and force_ffmpeg_audio:
                 # -R reroutes decoding through the ffmpeg CLI, but the

@@ -25,21 +25,38 @@ import numpy as np
 _BANKS_PATH = pathlib.Path(__file__).resolve().parent.parent / "data" \
     / "swr_banks.npz"
 _banks = None
+_mixes = None
 
 
 def _load():
-    global _banks
+    global _banks, _mixes
     if _banks is None:
         _banks = {}
+        _mixes = {}
         if _BANKS_PATH.exists():
             z = np.load(_BANKS_PATH)
-            keys = {k.rsplit("_", 1)[0] for k in z.files}
+            keys = {k.rsplit("_", 1)[0] for k in z.files
+                    if not k.startswith("mix_")}
             for key in keys:
                 src, dst = (int(v) for v in key.split("_"))
                 w, l, m, d = (int(v) for v in z[f"{key}_meta"])
                 _banks[(src, dst)] = (z[f"{key}_starts"],
                                       z[f"{key}_taps"], w, l, m, d)
+            for k in z.files:
+                if k.startswith("mix_"):
+                    _, i, o = k.split("_")
+                    _mixes[(int(i), int(o))] = z[k]
     return _banks
+
+
+def mix_matrix(in_ch, out_ch):
+    """libswresample's exact Q15 default rematrix (in_ch -> out_ch), or
+    None if not shipped. Probed from the real library by
+    tools/extract_swr_banks.py: the float-pipeline coefficients differ
+    by +-1 Q15 step from double-precision recomputation on some layouts
+    (e.g. 5.1->stereo FC is 9597, not round(0.2928932*32768) = 9598)."""
+    _load()
+    return _mixes.get((in_ch, out_ch))
 
 
 def _bank_for(src_rate, dst_rate):

@@ -343,6 +343,11 @@ def encode_unit_streams(channel_samples, offsets, limits, filter_count,
     T = offsets.shape[1]
     channel_samples = np.asarray(channel_samples)
     B = channel_samples.shape[0]
+    # The Pallas PCM path clips OFFSETS to >= 0 while the host gather
+    # clips per-sample INDICES; a negative offset would gather different
+    # samples per path. No caller produces one — enforce that here.
+    assert offsets.size == 0 or int(np.min(offsets)) >= 0, \
+        "unit offsets must be non-negative"
     if T == 0:
         return (np.zeros((B, 0), np.uint8),
                 np.zeros((B, 0, SAMPLES_PER_UNIT), np.uint8),

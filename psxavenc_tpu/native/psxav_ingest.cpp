@@ -150,8 +150,10 @@ struct Stream {
 // reference's open_av_data).
 int stream_setup(const Req *req, Res *res, Stream *st) {
     // -q silences libav* warnings, like the reference (decoding.c:158-159).
-    if (req->quiet)
-        av_log_set_level(AV_LOG_QUIET);
+    // Set explicitly on every open: the auto-streaming probe runs quiet
+    // before the real open, and the level is process-global, so a bare
+    // "if quiet" would leave diagnostics suppressed for the real pass.
+    av_log_set_level(req->quiet ? AV_LOG_QUIET : AV_LOG_INFO);
     memset(res, 0, sizeof(*res));
     res->loop_meta_ms = -1;
     res->chapter0_ms = -1;

@@ -185,7 +185,9 @@ def encode_units_scan(samples, limits, prev1, prev2, *, filter_count,
 
     Returns:
       headers: (B, T) int32, nibbles: (B, T, 28) int32,
-      final (prev1, prev2): (B,) int32 each.
+      per-unit (prev1, prev2): (B, T) int32 each — the decoder state AFTER
+      unit t, so callers (batch._grouped_unit_encode) can recover exact
+      state at any unit when bucket padding appends masked trailing units.
     """
     def step(carry, xs):
         p1, p2 = carry

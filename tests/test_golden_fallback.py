@@ -37,13 +37,16 @@ def test_fallback_wav_xa_golden(tmp_path, oracle):
         _normalize(our.read_bytes(), ssize, mask)
 
 
-@pytest.mark.parametrize("dst_rate", [37800, 18900])
-def test_fallback_resample_golden(tmp_path, oracle, dst_rate):
-    """44100 Hz input resampled through the fallback tier is bit-exact:
-    the shipped swresample tap banks (io/swr_exact.py) replay
-    swr_convert — formerly a documented approximation."""
+@pytest.mark.parametrize("src_rate,dst_rate", [
+    (44100, 37800), (44100, 18900), (8000, 37800), (11025, 18900),
+])
+def test_fallback_resample_golden(tmp_path, oracle, src_rate, dst_rate):
+    """Resampled input through the fallback tier is bit-exact: the
+    shipped swresample tap banks (io/swr_exact.py) replay swr_convert —
+    formerly a documented approximation. Covers two ordinary ratios and
+    two of the extreme-upsample ratios round 3 shipped nothing for."""
     wav = write_wav(tmp_path / "in.wav",
-                    rand_pcm(44100 * 2, channels=2, seed=31), 44100)
+                    rand_pcm(src_rate * 2, channels=2, seed=31), src_rate)
     ref = tmp_path / "ref.xa"
     our = tmp_path / "our.xa"
     args = ["-t", "xa", "-f", str(dst_rate), "-c", "2"]
@@ -55,13 +58,22 @@ def test_fallback_resample_golden(tmp_path, oracle, dst_rate):
         _normalize(our.read_bytes(), ssize, mask)
 
 
-@pytest.mark.parametrize("src_rate,dst_rate", [
-    (48000, 22050), (32000, 44100), (48000, 44100), (22050, 44100),
-])
+def _shipped_ratios():
+    from psxavenc_tpu.io import swr_exact
+    swr_exact._load()
+    return sorted(swr_exact._banks.keys())
+
+
+@pytest.mark.parametrize("src_rate,dst_rate", _shipped_ratios())
 def test_swr_exact_matches_native(tmp_path, monkeypatch, src_rate,
                                   dst_rate):
-    """Every shipped tap bank replays the real libswresample exactly
-    (PCM-level comparison against the native extension)."""
+    """EVERY shipped tap bank replays the real libswresample exactly
+    (PCM-level comparison against the native extension). This includes
+    the 4 extreme-upsample ratios round 3 judged non-FIR: those were an
+    extraction artifact (full-scale impulse probes saturating int16
+    output on transient rows with gain > 1.0), not a nonlinearity —
+    tools/extract_swr_banks.py now solves such taps at sub-scale
+    amplitudes."""
     import numpy as np
 
     from psxavenc_tpu.io import swr_exact
@@ -78,6 +90,41 @@ def test_swr_exact_matches_native(tmp_path, monkeypatch, src_rate,
         fps_den=1, quiet=1)
     native = r["audio"].reshape(-1, 2)
     assert np.array_equal(exact, native)
+
+
+@pytest.mark.parametrize("src_ch,dst_ch,src_rate,dst_rate", [
+    (1, 2, 8000, 37800),    # upmix, resample-first branch
+    (1, 2, 44100, 37800),   # upmix, rematrix-first branch
+    (6, 2, 44100, 37800),   # 5.1 downmix (resample-first, probed matrix)
+    (2, 1, 44100, 22050),   # downmix at the cost-rule equality point
+])
+def test_fallback_remix_resample_golden(tmp_path, oracle, src_ch, dst_ch,
+                                        src_rate, dst_rate):
+    """Channel remix combined with resampling through the fallback tier
+    is bit-exact: exact probed Q15 matrices (swr_exact.mix_matrix) and
+    libswresample's data-dependent rematrix/resample ORDER
+    (ingest._remix_resample) — both observable in output bytes."""
+    pcm = rand_pcm(src_rate * src_ch, channels=src_ch, seed=41)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    wav = write_wav(tmp_path / "in.wav", pcm, src_rate, channels=src_ch)
+    ref = tmp_path / "ref.xa"
+    our = tmp_path / "our.xa"
+    args = ["-t", "xa", "-f", str(dst_rate) if dst_rate in (18900, 37800)
+            else "37800", "-c", str(dst_ch)]
+    if dst_rate not in (18900, 37800):
+        # XA only accepts 18900/37800; resample to dst via -f is not
+        # possible, so run those through spu (mono) instead.
+        args = ["-t", "spu", "-f", str(dst_rate)]
+    r = run_oracle(["-q"] + args + [wav, ref])
+    assert r.returncode == 0, r.stderr
+    assert cli.main(["-q"] + args + [str(wav), str(our)]) == 0
+    if args[1] == "spu":
+        assert ref.read_bytes() == our.read_bytes()
+    else:
+        ssize, mask = _mask_for("xa", 4)
+        assert _normalize(ref.read_bytes(), ssize, mask) == \
+            _normalize(our.read_bytes(), ssize, mask)
 
 
 def test_fallback_wav_spu_golden(tmp_path, oracle):

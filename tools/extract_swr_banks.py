@@ -77,11 +77,46 @@ def extract_rows(src, dst, probe_span):
         for p in pos:
             xs[p] = -32768
         y = swr(xs, src, dst)
+        # Transient rows can have gain > 1.0 (edge overshoot): a full-scale
+        # impulse then SATURATES the int16 output and the read-back "tap"
+        # is the clip rail, not the tap (this is what made 4 upsample
+        # ratios look non-linear in round 3). Re-probe the same impulse
+        # pattern at sub-scale amplitudes and solve those taps exactly:
+        # y(A) = floor((A*t + 16384) / 32768), so y(-16384) gives t up to
+        # parity and further amplitudes disambiguate (adjacent candidates
+        # can collide in one probe's floor bin; walk a ladder until the
+        # candidate is unique).
+        amp_probes = {}
+
+        def probe(a):
+            if a not in amp_probes:
+                xs2 = np.zeros(n_in, np.int16)
+                for p in pos:
+                    xs2[p] = a
+                amp_probes[a] = swr(xs2, src, dst)
+            return amp_probes[a]
+
+        def solve_tap(oi):
+            v = int(probe(-16384)[oi])
+            cand = [-2 * v, 1 - 2 * v]
+            for a in (-16383, -16382, -16381, -16379, -16369, -16349,
+                      -16253, -15973, -15361, -13121, -10923):
+                if len(cand) == 1:
+                    break
+                ya = int(probe(a)[oi])
+                cand = [t for t in cand if (a * t + 16384) // 32768 == ya]
+            assert len(cand) == 1, \
+                f"ambiguous large tap at {src}->{dst} out {oi}: {cand}"
+            return cand[0]
+
         for p in pos:
             c = p * L // M
             lo = max(0, c - span_out)
             hi = min(len(y), c + span_out)
-            seg = -y[lo:hi]
+            seg = -y[lo:hi].copy()
+            sus = np.nonzero((seg >= 32767) | (seg <= -32767))[0]
+            for i in sus:
+                seg[i] = solve_tap(lo + i)
             nz = np.nonzero(seg)[0]
             if len(nz):
                 assert nz.min() > 0 or lo == 0, "window clipped (left)"
@@ -130,8 +165,13 @@ def build_bank(src, dst):
             taps[n, p - s] = t
 
     # Output length rule: len = floor((n_in * L - D) / M), from probes.
+    # Include exactly-divisible n_in (n_in*L % M == 0): the open/closed
+    # boundary of the floor is only observable there, and real inputs hit
+    # it (e.g. 2 s of 16000 Hz -> 18900 is exactly divisible).
+    probes = [2000, 2611, 3000, 3777, 4097, 5000, 8191]
+    probes += [-(-2500 // M) * M, -(-6000 // M) * M, 2 * src]
     lens = {}
-    for n_in in (2000, 2611, 3000, 3777, 4097, 5000, 8191):
+    for n_in in sorted(set(probes)):
         lens[n_in] = len(swr(np.zeros(n_in, np.int16), src, dst))
     ds = {n_in * L - M * ln for n_in, ln in lens.items()}
     # len = floor((n*L - D)/M) needs d - M < D <= d for every probe's
@@ -157,9 +197,42 @@ def build_bank(src, dst):
     return starts, taps, W, L, M, D
 
 
+def extract_mix_matrices():
+    """Recover libswresample's exact Q15 rematrix coefficients by
+    impulse probing at matched rate (one full-scale impulse per input
+    channel; the output sample is the negated coefficient). The computed
+    default-matrix formulas land within +-1 Q15 step of swr's own
+    float pipeline on several layouts (FC of 5.1->stereo is 9597 in swr,
+    9598 by double-precision math), so bit-exactness requires reading
+    the real library's values, exactly like the filter taps."""
+    mats = {}
+    for nch in range(1, 9):
+        for tgt in (1, 2):
+            if nch == tgt:
+                continue
+            x = np.zeros((64, nch), np.int16)
+            for c in range(nch):
+                x[c, c] = -32768
+            p = _td / f"mix{nch}_{tgt}.wav"
+            write_wav(p, x, 44100, channels=nch)
+            r = ingest_ext.ingest(
+                str(p), flags=1, audio_frequency=44100, audio_channels=tgt,
+                video_width=320, video_height=240, ignore_aspect=1,
+                fps_num=15, fps_den=1, quiet=1)
+            y = r["audio"].reshape(-1, tgt)
+            m = np.array([[-int(y[c, o]) for c in range(nch)]
+                          for o in range(tgt)], np.int64)
+            # A coefficient of exactly 32768 reads back clipped through
+            # the int16 output but is exact ((x*32768 + 16384) >> 15 is
+            # the identity); nothing exceeds 32768 in a default matrix.
+            mats[f"mix_{nch}_{tgt}"] = m
+            print(f"mix {nch}->{tgt}: {m.tolist()}")
+    return mats
+
+
 def main():
     assert ingest_ext.load() is not None, "needs the native extension"
-    out = {}
+    out = extract_mix_matrices()
     shipped = skipped = 0
     for src, dst in RATIOS:
         try:
