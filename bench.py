@@ -336,7 +336,7 @@ def measure_audio_cli_path(seconds=20):
     lims2 = np.stack([lims, lims])
 
     out = {}
-    for label, use in (("pallas", True), ("xla", False)):
+    for label, use in (("pallas", True), ("fallback", False)):
         streams.encode_unit_streams(pcm, offs2, lims2, 4, 12,
                                     use_pallas=use)  # compile
         # Best of 3: the dev tunnel's per-transfer latency swings
@@ -373,7 +373,7 @@ def main():
     audio_cli = measure_audio_cli_path() if dev.platform == "tpu" else {}
     if audio_cli:
         log(f"ours: CLI-path audio pallas {audio_cli['pallas']:.1f} vs "
-            f"xla {audio_cli['xla']:.1f} Msamples/s")
+            f"fallback (native) {audio_cli['fallback']:.1f} Msamples/s")
     video_fps = measure_ours_video()
     log(f"ours: video {video_fps:.2f} fps (e2e tunnel)")
     video_dev_fps = measure_video_device() if dev.platform == "tpu" \

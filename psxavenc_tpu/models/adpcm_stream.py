@@ -8,6 +8,7 @@ units are gathered into a (B, T, 28) tensor, and a single jitted
 """
 
 import functools
+import os
 
 import numpy as np
 import jax.numpy as jnp
@@ -15,6 +16,16 @@ import jax.numpy as jnp
 from ..ops import adpcm as ops
 
 SAMPLES_PER_UNIT = ops.SAMPLES_PER_UNIT
+
+
+def _native_adpcm():
+    """The native host ADPCM encoder (psxav_native.cpp), or None when the
+    extension cannot build (no toolchain)."""
+    try:
+        from .. import native
+        return native
+    except Exception:  # noqa: BLE001 — toolchain-less host: XLA fallback
+        return None
 
 
 def chunk_unit_layout(chunk_lengths):
@@ -401,6 +412,25 @@ def encode_prepared_units(units, lim, filter_count, shift_range,
             rows = np.arange(B)
             s1, s2 = s1[rows, state_t], s2[rows, state_t]
         return h, v, s1, s2
+
+    # No-TPU tier: the native C++ unit encoder (psxav_native.cpp) —
+    # the XLA scan formulation is dispatch-bound off-TPU (~0.5 Msps on
+    # CPU vs the reference C's 5.7; the plain host loop beats both).
+    # PSXAVENC_NO_NATIVE_ADPCM=1 forces the XLA path (tests use it to
+    # keep the JAX kernels golden-covered).
+    if not os.environ.get("PSXAVENC_NO_NATIVE_ADPCM"):
+        native_mod = _native_adpcm()
+        if native_mod is not None:
+            h, v, s1, s2 = native_mod.adpcm_encode_units(
+                np.asarray(units), np.asarray(lim),
+                np.asarray(prev1, np.int32), np.asarray(prev2, np.int32),
+                filter_count, shift_range)
+            if state_t is None:
+                f1, f2 = s1[:, T - 1].copy(), s2[:, T - 1].copy()
+            else:
+                rows = np.arange(B)
+                f1, f2 = s1[rows, state_t], s2[rows, state_t]
+            return h, v, f1, f2
 
     # Bucket T to the next power of two so different stream lengths share
     # compiled programs; padding units are fully masked (limit 0) and their

@@ -50,6 +50,9 @@ _lib.psxn_xa_assemble.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
 _lib.psxn_bs_pack.restype = ctypes.c_long
 _lib.psxn_bs_pack.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                               ctypes.c_long, ctypes.c_void_p, ctypes.c_long]
+_lib.psxn_adpcm_encode_units.restype = None
+_lib.psxn_adpcm_encode_units.argtypes = [ctypes.c_void_p] * 7 + [
+    ctypes.c_long, ctypes.c_long, ctypes.c_int, ctypes.c_int]
 
 SECTOR_MODE1 = 0
 SECTOR_MODE2_FORM1 = 1
@@ -90,6 +93,33 @@ def xa_assemble(headers, nibbles, units_per_block, bits8):
     _lib.psxn_xa_assemble(_ptr(payload), _ptr(headers), _ptr(nibbles),
                           units_per_block, int(bits8))
     return payload
+
+
+def adpcm_encode_units(units, limits, prev1, prev2, filter_count,
+                       shift_range):
+    """Host ADPCM unit-stream encode (no-TPU fallback tier).
+
+    Args mirror ops/adpcm.py::encode_units_scan: units (B, T, 28) int16,
+    limits (B, T) int32, prev1/prev2 (B,) int32. Returns (headers (B, T)
+    uint8, nibbles (B, T, 28) uint8, s1 (B, T) int32, s2 (B, T) int32)
+    with per-unit post-states, bit-exact with the JAX kernels
+    (tests/test_adpcm_kernel.py cross-checks)."""
+    units = np.ascontiguousarray(units, dtype=np.int16)
+    B, T, _ = units.shape
+    limits = np.ascontiguousarray(
+        np.clip(limits, -(1 << 30), 28), dtype=np.int32)
+    state = np.ascontiguousarray(
+        np.stack([np.asarray(prev1, np.int32),
+                  np.asarray(prev2, np.int32)], axis=1))
+    headers = np.zeros((B, T), np.uint8)
+    nibbles = np.zeros((B, T, 28), np.uint8)
+    s1 = np.zeros((B, T), np.int32)
+    s2 = np.zeros((B, T), np.int32)
+    _lib.psxn_adpcm_encode_units(
+        _ptr(units), _ptr(limits), _ptr(state), _ptr(headers),
+        _ptr(nibbles), _ptr(s1), _ptr(s2), B, T, filter_count,
+        shift_range)
+    return headers, nibbles, s1, s2
 
 
 def bs_pack(codes, lens, out_size):

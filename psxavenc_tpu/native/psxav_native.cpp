@@ -145,6 +145,121 @@ void psxn_xa_assemble(uint8_t *payload2304, const uint8_t *headers,
     }
 }
 
+// ------------------------------------------------------ ADPCM unit encoder
+
+// Host fallback for the ADPCM candidate search when no TPU (Mosaic
+// kernel) is available: same semantics as ops/adpcm.py::encode_unit —
+// the reference's candidate order (filter-major, shift ascending,
+// adpcm.c:142-191), strict `>` first-best ties, exact uint64 MSE, and
+// decoded-sample state threading across units. The XLA formulation of
+// the 28-step recurrence is dispatch-bound off-TPU (~0.5 Msamples/s on
+// CPU); this plain loop exceeds the reference C encoder's throughput.
+
+static const int32_t adpcm_k1[5] = {0, 60, 115, 98, 122};
+static const int32_t adpcm_k2[5] = {0, 0, -52, -55, -60};
+
+static inline int32_t adpcm_predict(int32_t k1, int32_t k2, int32_t p1,
+                                    int32_t p2) {
+    return (k1 * p1 + k2 * p2 + 32) >> 6;
+}
+
+// Encode B independent unit streams: per row, T units of 28 samples
+// with per-unit limits (limit <= 0 zeroes the whole unit, >= 28 keeps
+// all), threading (prev1, prev2) decoder state across units. Outputs
+// headers (B,T), nibble values (B,T,28) and the post-unit decoder
+// states s1/s2 (B,T) (callers slice the state at any unit, matching
+// encode_units_scan's per-unit state returns).
+void psxn_adpcm_encode_units(const int16_t *units, const int32_t *limits,
+                             const int32_t *state12, uint8_t *headers,
+                             uint8_t *nibbles, int32_t *s1_out,
+                             int32_t *s2_out, long B, long T,
+                             int filter_count, int shift_range) {
+    const int32_t sample_mask = 0xFFFF >> shift_range;
+    const int32_t min_e = -0x8000 >> shift_range;
+    const int32_t max_e = 0x7FFF >> shift_range;
+    const int32_t half = 1 << (shift_range - 1);
+
+    for (long b = 0; b < B; b++) {
+        int32_t prev1 = state12[b * 2], prev2 = state12[b * 2 + 1];
+        for (long t = 0; t < T; t++) {
+            const int16_t *su = units + (b * T + t) * 28;
+            int32_t lim = limits[b * T + t];
+            int32_t raw[28];
+            for (int i = 0; i < 28; i++)
+                raw[i] = (i < lim) ? (int32_t)su[i] : 0;
+
+            uint64_t best_mse = ~0ull;
+            int best_filter = 0, best_shift = 0;
+            int32_t best_nib[28], best_p1 = prev1, best_p2 = prev2;
+
+            for (int f = 0; f < filter_count; f++) {
+                const int32_t k1 = adpcm_k1[f], k2 = adpcm_k2[f];
+                // find_min_shift: residuals with RAW history (no
+                // quantization feedback), then the smallest right-shift
+                // keeping residuals in range (one-step clip allowed).
+                int32_t p1 = prev1, p2 = prev2;
+                int32_t s_min = 0, s_max = 0;
+                for (int i = 0; i < 28; i++) {
+                    int32_t r = raw[i] - adpcm_predict(k1, k2, p1, p2);
+                    if (r < s_min) s_min = r;
+                    if (r > s_max) s_max = r;
+                    p2 = p1;
+                    p1 = raw[i];
+                }
+                int right_shift = 0;
+                while (right_shift < shift_range &&
+                       ((s_max >> right_shift) > (0x7FFF >> shift_range) ||
+                        (s_min >> right_shift) < (-0x8000 >> shift_range)))
+                    right_shift++;
+                int min_shift = shift_range - right_shift;
+
+                for (int d = -1; d <= 1; d++) {
+                    int sh = min_shift + d;
+                    if (sh < 0) sh = 0;
+                    if (sh > shift_range) sh = shift_range;
+                    int32_t nib[28];
+                    int32_t a1 = prev1, a2 = prev2;
+                    uint64_t mse = 0;
+                    for (int i = 0; i < 28; i++) {
+                        int32_t s = raw[i];
+                        int32_t pred = adpcm_predict(k1, k2, a1, a2);
+                        int32_t enc = (((s - pred) << sh) + half)
+                                      >> shift_range;
+                        if (enc < min_e) enc = min_e;
+                        if (enc > max_e) enc = max_e;
+                        enc &= sample_mask;
+                        int32_t dec = (int16_t)(enc << shift_range);
+                        dec = (dec >> sh) + pred;
+                        if (dec < -0x8000) dec = -0x8000;
+                        if (dec > 0x7FFF) dec = 0x7FFF;
+                        int64_t err = dec - s;
+                        mse += (uint64_t)(err * err);
+                        nib[i] = enc;
+                        a2 = a1;
+                        a1 = dec;
+                    }
+                    if (mse < best_mse) {     // strict: first-best wins
+                        best_mse = mse;
+                        best_filter = f;
+                        best_shift = sh;
+                        for (int i = 0; i < 28; i++) best_nib[i] = nib[i];
+                        best_p1 = a1;
+                        best_p2 = a2;
+                    }
+                }
+            }
+            headers[b * T + t] =
+                (uint8_t)((best_shift & 0x0F) | (best_filter << 4));
+            uint8_t *nb = nibbles + (b * T + t) * 28;
+            for (int i = 0; i < 28; i++) nb[i] = (uint8_t)best_nib[i];
+            prev1 = best_p1;
+            prev2 = best_p2;
+            s1_out[b * T + t] = prev1;
+            s2_out[b * T + t] = prev2;
+        }
+    }
+}
+
 // ------------------------------------------------------------- BS bit packer
 
 // Pack a symbol stream into the BS frame bitstream: 16-bit groups filled

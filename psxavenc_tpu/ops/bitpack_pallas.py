@@ -220,52 +220,64 @@ def _gather_kernel(j0_ref, nwin_ref, e0_ref, vals_ref, out_ref, *,
     jax.lax.fori_loop(0, ntiles, tile_body, 0)
 
 
-_MW = 64  # candidate window for the MXU placement kernel
+import os as _os
+
+_MW = int(_os.environ.get("PSXAVENC_MXU_MW", "64"))
+"""Candidate blocks per window load for the MXU placement kernel."""
+_TPI = int(_os.environ.get("PSXAVENC_MXU_TPI", "4"))
+"""128-u32 output tiles per segment iteration (env-tunable for perf
+sweeps; 4 measured best on v5e — see tools/profile_stages.py)."""
 
 
 def _mxu_place_kernel(j0_ref, nwin_ref, e0_ref, bytes_ref, out_ref, *,
-                      ntiles):
-    """Output-stationary placement via one-hot matmuls: per tile, the
-    candidate window's 36 byte-planes (9 u32 contribution slots x 4
-    bytes) spread to their lanes with a (window, 256) one-hot of the
-    u32 offsets on the MXU, then 9 static lane-rolls reassemble the
-    i-slots and 4 shifts recombine the bytes. Contributions are
-    bit-disjoint across candidates, so every per-(plane, lane) sum stays
-    <= 255 — exact in bf16/f32."""
+                      nsegs):
+    """Output-stationary placement via one-hot matmuls: per segment of
+    _TPI output tiles, the candidate windows' 36 byte-planes (9 u32
+    contribution slots x 4 bytes) spread to their lanes with a
+    (window, L) one-hot of the u32 offsets on the MXU, then 9 static
+    lane-rolls reassemble the i-slots and 4 shifts recombine the bytes.
+    Contributions are bit-disjoint across candidates, so every
+    per-(plane, lane) sum stays <= 255 — exact in bf16/f32. Fat
+    segments (_TPI tiles per sequential iteration) amortize the
+    per-iteration Mosaic overhead that dominated the one-tile-per-step
+    variant."""
     b = pl.program_id(0)
-    lanes256 = jax.lax.broadcasted_iota(jnp.int32, (_MW, 256), 1)
+    L = _TPI * 128 + 128                 # +128: left margin 8 wraps to
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (_MW, L), 1)  # >= TPI*128
 
-    def tile_body(t, carry):
+    def seg_body(t, carry):
         j0 = pl.multiple_of(j0_ref[b, t], 8)
         nw = nwin_ref[b, t]
-        tile_start = t * 128
+        seg_start = t * (_TPI * 128)
 
         def win_body(w, g):
             j = pl.multiple_of(j0 + w * _MW, 8)
             e = e0_ref[0, pl.ds(j, _MW), 0].reshape(_MW, 1)
             vb = bytes_ref[0, pl.ds(j, _MW), :]          # (_MW, 36) bf16
-            onehot = (e - tile_start + 8 == lanes256).astype(jnp.bfloat16)
+            onehot = (e - seg_start + 8 == lanes).astype(jnp.bfloat16)
             return g + jax.lax.dot_general(
                 vb, onehot, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # (36, 256)
+                preferred_element_type=jnp.float32)      # (36, L)
 
         g = jax.lax.fori_loop(
-            0, nw, win_body, jnp.zeros((36, 256), jnp.float32))
+            0, nw, win_body, jnp.zeros((36, L), jnp.float32))
         gi = g.astype(jnp.int32)
         # Slot i's bytes live at lanes e+8; they belong at output lane
-        # e+i, i.e. roll left by (8 - i).
-        acc = jnp.zeros((4, 256), jnp.int32)
+        # e+i, i.e. roll left by (8 - i). Left-margin blocks (e down to
+        # seg_start-8) wrap to lanes >= L-8 > _TPI*128 and are not
+        # stored; they re-enter as the previous segment's in-range rows.
+        acc = jnp.zeros((4, L), jnp.int32)
         for i in range(9):
-            sh = (256 - (8 - i)) % 256
+            sh = (L - (8 - i)) % L
             part = gi[4 * i:4 * i + 4]
             acc = acc + (pltpu.roll(part, sh, 1) if sh else part)
         word = (acc[0:1] | (acc[1:2] << 8) | (acc[2:3] << 16)
                 | (acc[3:4] << 24))
-        out_ref[0, 0, pl.ds(pl.multiple_of(t * 128, 128), 128)] = \
-            word[0, :128]
+        out_ref[0, 0, pl.ds(pl.multiple_of(t * (_TPI * 128), 128),
+                            _TPI * 128)] = word[0, :_TPI * 128]
         return carry
 
-    jax.lax.fori_loop(0, ntiles, tile_body, 0)
+    jax.lax.fori_loop(0, nsegs, seg_body, 0)
 
 
 @functools.partial(jax.jit,
@@ -285,12 +297,13 @@ def place_streams_mxu_pallas(streams, goff, total_bits, *,
     vb = by.reshape(B, NBe, 36).astype(jnp.bfloat16)
 
     cap32 = (capacity_words + 1) // 2
-    ntiles = -(-cap32 // 128)
-    bounds = jnp.arange(ntiles, dtype=jnp.int32) * 128
+    seg = _TPI * 128
+    nsegs = -(-cap32 // seg)
+    bounds = jnp.arange(nsegs, dtype=jnp.int32) * seg
     j0 = jax.vmap(lambda e: jnp.searchsorted(e, bounds - 8,
                                              side="left"))(e0)
     j0 = j0 & ~7
-    j1 = jax.vmap(lambda e: jnp.searchsorted(e, bounds + 128,
+    j1 = jax.vmap(lambda e: jnp.searchsorted(e, bounds + seg,
                                              side="left"))(e0)
     nwin = -(-(j1 - j0) // _MW)
 
@@ -300,7 +313,7 @@ def place_streams_mxu_pallas(streams, goff, total_bits, *,
                   constant_values=jnp.int32(1 << 30))
 
     out = pl.pallas_call(
-        functools.partial(_mxu_place_kernel, ntiles=ntiles),
+        functools.partial(_mxu_place_kernel, nsegs=nsegs),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B,),
@@ -312,11 +325,11 @@ def place_streams_mxu_pallas(streams, goff, total_bits, *,
                              lambda b, *_: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 1, ntiles * 128),
+            out_specs=pl.BlockSpec((1, 1, nsegs * seg),
                                    lambda b, *_: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((B, 1, ntiles * 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, 1, nsegs * seg), jnp.int32),
         interpret=interpret,
     )(j0.astype(jnp.int32), nwin.astype(jnp.int32),
       e0p[..., None], vb)

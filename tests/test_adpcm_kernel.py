@@ -61,3 +61,35 @@ def test_model_spu_blocks_against_hand_values():
     hdr, nibs = ref.encode(st, [0] * 28, 28, 1, 5, 12)
     assert nibs == [0] * 28
     assert hdr == 0x0B  # shift 11 (= min_shift 12 - 1), filter 0
+
+
+@pytest.mark.parametrize("filter_count,shift_range", [
+    (ops.SPU_FILTER_COUNT, ops.SHIFT_RANGE_4BPS),
+    (ops.XA_FILTER_COUNT, ops.SHIFT_RANGE_4BPS),
+    (ops.XA_FILTER_COUNT, ops.SHIFT_RANGE_8BPS),
+    (ops.SPU_FILTER_COUNT, ops.SHIFT_RANGE_8BPS),
+])
+def test_native_encoder_matches_scan(filter_count, shift_range):
+    """The no-TPU fallback tier (psxn_adpcm_encode_units) is bit-exact
+    with the JAX scan: headers, nibbles, and every per-unit state, over
+    random units, partial/masked limits, and nonzero initial state."""
+    from psxavenc_tpu import native
+
+    rng = np.random.default_rng(7)
+    B, T = 5, 61
+    units = rng.integers(-0x8000, 0x8000, (B, T, 28)).astype(np.int16)
+    limits = rng.integers(0, 29, (B, T)).astype(np.int32)
+    limits[:, :2] = 28
+    p1 = rng.integers(-0x8000, 0x8000, B).astype(np.int32)
+    p2 = rng.integers(-0x8000, 0x8000, B).astype(np.int32)
+
+    hn, vn, s1n, s2n = native.adpcm_encode_units(
+        units, limits, p1, p2, filter_count, shift_range)
+    hx, vx, s1x, s2x = ops.encode_units_scan(
+        jnp.asarray(units, jnp.int32), jnp.asarray(limits),
+        jnp.asarray(p1), jnp.asarray(p2), filter_count=filter_count,
+        shift_range=shift_range)
+    assert np.array_equal(hn, np.asarray(hx).astype(np.uint8))
+    assert np.array_equal(vn, np.asarray(vx).astype(np.uint8))
+    assert np.array_equal(s1n, np.asarray(s1x))
+    assert np.array_equal(s2n, np.asarray(s2x))

@@ -111,11 +111,20 @@ def main():
             capacity_words=cap, pallas_sweep=True, packer="fused_gather")
         return (out["words"].astype(jnp.int32).sum() + out["scale"].sum())
 
+    @jax.jit
+    def full_mxu(frames, budgets):
+        out = api.bs_encode_frames_packed(
+            frames, budgets, codec=bs_ops.BS_V2, width=W, height=H,
+            capacity_words=cap, pallas_sweep=True, packer="fused_mxu")
+        return (out["words"].astype(jnp.int32).sum() + out["scale"].sum())
+
     timed("coefs", lambda: coefs_only(frames), iters)
     timed("+select (pallas)", lambda: select_only(frames, budgets), iters)
     timed("+emit_pack", lambda: thru_emit(frames, budgets), iters)
     timed("+u32 prep (XLA)", lambda: thru_u32(frames, budgets), iters)
-    dt = timed("FULL fused_gather", lambda: full(frames, budgets), iters)
+    timed("FULL fused_gather", lambda: full(frames, budgets), iters)
+    dt = timed("FULL fused_mxu", lambda: full_mxu(frames, budgets),
+               iters)
     print(f"device-side video: {batch / dt:.1f} fps", flush=True)
 
 
