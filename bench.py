@@ -88,7 +88,13 @@ def _timed_loop(fn, min_seconds=2.0, max_iters=200):
 
 
 def measure_ours_video(batch=128):
-    import jax
+    """End-to-end video throughput INCLUDING the host->device frame
+    upload, with the production double-buffered pipeline (bs_video's
+    uploader thread): batch k+1's upload + dispatch overlap batch k's
+    compute + payload fetch. Returns (e2e_fps, overlap_gain_pct vs a
+    fully serial upload->compute->fetch loop)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from psxavenc_tpu import api
     from psxavenc_tpu.io.ingest import _scale_frame_nv21
     from psxavenc_tpu.ops import bs as bs_ops
@@ -102,40 +108,36 @@ def measure_ours_video(batch=128):
     nv21 = np.tile(nv21, (batch // uniq, 1))
     budgets = np.full(batch, FRAME_BUDGET, np.int32)
     cap = (FRAME_BUDGET - 8) // 2
-    dev_frames = jax.device_put(nv21)
-    dev_budgets = jax.device_put(budgets)
-
-    def run():
-        out = api.bs_encode_frames_packed(
-            dev_frames, dev_budgets, codec=bs_ops.BS_V2, width=VIDEO_W,
-            height=VIDEO_H, capacity_words=cap)
-        # End-to-end: the packed payload and headers leave the device.
-        np.asarray(out["words"])
-        np.asarray(out["scale"])
-
-    # The axon tunnel pays a large one-time setup cost on the first
-    # device->host transfer; warm it before timing. Then pipeline: fetch
-    # iteration k-1 while the device computes iteration k.
-    run()
 
     def launch():
         return api.bs_encode_frames_packed(
-            dev_frames, dev_budgets, codec=bs_ops.BS_V2, width=VIDEO_W,
+            nv21, budgets, codec=bs_ops.BS_V2, width=VIDEO_W,
             height=VIDEO_H, capacity_words=cap)
 
-    prev = launch()
+    def fetch(out):
+        np.asarray(out["words"])
+        np.asarray(out["scale"])
+
+    fetch(launch())  # compile + warm the tunnel
+
+    iters = 6
     t0 = time.monotonic()
-    iters = 0
-    while True:
-        cur = launch()
-        np.asarray(prev["words"])
-        np.asarray(prev["scale"])
-        prev = cur
-        iters += 1
-        dt = time.monotonic() - t0
-        if dt >= 2.0 or iters >= 200:
-            break
-    return batch * iters / dt
+    for _ in range(iters):
+        fetch(launch())
+    serial = (time.monotonic() - t0) / iters
+
+    ex = ThreadPoolExecutor(1)
+    t0 = time.monotonic()
+    fut = ex.submit(launch)
+    for i in range(iters - 1):
+        out = fut.result()
+        fut = ex.submit(launch)
+        fetch(out)
+    fetch(fut.result())
+    dbl = (time.monotonic() - t0) / iters
+    ex.shutdown()
+    gain = 100.0 * (serial - dbl) / serial if serial > 0 else 0.0
+    return batch / dbl, gain
 
 
 def measure_ours_audio(batch=4096, t_units=1000):
@@ -374,8 +376,10 @@ def main():
     if audio_cli:
         log(f"ours: CLI-path audio pallas {audio_cli['pallas']:.1f} vs "
             f"fallback (native) {audio_cli['fallback']:.1f} Msamples/s")
-    video_fps = measure_ours_video()
-    log(f"ours: video {video_fps:.2f} fps (e2e tunnel)")
+    video_fps, overlap_gain = measure_ours_video()
+    log(f"ours: video {video_fps:.2f} fps (e2e tunnel, incl. frame "
+        f"upload; double-buffered upload gains {overlap_gain:.0f}% over "
+        f"serial)")
     video_dev_fps = measure_video_device() if dev.platform == "tpu" \
         else video_fps
     log(f"ours: video {video_dev_fps:.2f} fps (device-side)")
@@ -393,12 +397,17 @@ def main():
         "audio_msps_ref_cpu": ref["audio_msps"],
         "audio_vs_ref": audio_msps / ref["audio_msps"],
         "audio_cli_path_msps": audio_cli,
-        "notes": "video_fps is end-to-end through the dev tunnel "
-                 "(~20MB/s D2H, not representative of PCIe hosts); "
-                 "video_fps_device is the on-device pipeline rate "
-                 "(pipelined launches, fetch-latency corrected); audio "
-                 "is device-side via the Pallas kernel with "
-                 "checksum-forced timing",
+        "video_e2e_overlap_gain_pct": overlap_gain,
+        "notes": "video_fps is end-to-end through the dev tunnel and "
+                 "since r4 INCLUDES the raw-NV21 frame upload (r3's "
+                 "number kept frames device-resident, so r3/r4 e2e "
+                 "values are not comparable), with the production "
+                 "double-buffered uploader; the tunnel link (not "
+                 "compute) is the bound and is not representative of "
+                 "PCIe hosts; video_fps_device is the on-device "
+                 "pipeline rate (pipelined launches, fetch-latency "
+                 "corrected); audio is device-side via the Pallas "
+                 "kernel with checksum-forced timing",
     }
     (REPO / "BENCH_DETAILS.json").write_text(json.dumps(details, indent=1))
 
