@@ -106,3 +106,34 @@ def test_bs_frame_encoder_autoshards():
         assert info["quant_scale"] == int(out["scale"][i])
         payload = np.asarray(out["words"][i]).astype("<u2").tobytes()
         assert bytes(buf[8:]) == payload[:len(buf) - 8]
+
+
+def test_bs_frame_encoder_uploader_ordering_and_errors():
+    """The double-buffered uploader thread must preserve result order
+    across many chunks, and an unfittable frame's RuntimeError must
+    propagate through the worker-thread future (not hang or reorder)."""
+    import pytest
+
+    from psxavenc_tpu.models.bs_video import BsFrameEncoder
+
+    rng = np.random.default_rng(9)
+    width = height = 32
+    enc = BsFrameEncoder(bs_ops.BS_V2, width, height)
+    n = 70  # 3 chunks of 32 on the 8-device mesh
+    frames = [rng.integers(0, 256, width * height * 3 // 2).astype(
+        np.uint8) for _ in range(n)]
+    budgets = [4 * 2016] * n
+    results = enc.encode_frames(frames, budgets)
+    assert len(results) == n
+
+    out = api.bs_encode_frames_packed(
+        np.stack(frames), np.asarray(budgets, np.int32),
+        codec=bs_ops.BS_V2, width=width, height=height,
+        capacity_words=(4 * 2016 - 8) // 2, pallas_sweep=False)
+    for i, (buf, info) in enumerate(results):
+        assert info["quant_scale"] == int(out["scale"][i]), i
+
+    # A budget too small for noise even at scale 63: the reference
+    # asserts (mdec.c:723); we raise — across the threaded pipeline.
+    with pytest.raises(RuntimeError, match="quant scale 63"):
+        enc.encode_frames(frames[:3], [64] * 3)
