@@ -222,11 +222,15 @@ def _gather_kernel(j0_ref, nwin_ref, e0_ref, vals_ref, out_ref, *,
 
 import os as _os
 
-_MW = int(_os.environ.get("PSXAVENC_MXU_MW", "64"))
-"""Candidate blocks per window load for the MXU placement kernel."""
+_MW = int(_os.environ.get("PSXAVENC_MXU_MW", "256"))
+"""Candidate blocks per window load for the MXU placement kernel.
+256 covers a whole 4-tile segment's blocks in one load at 320x240
+budgets (inner window loop runs once); sweep on v5e at TPI=4:
+64/128/256/512 -> 3.76/3.63/3.25/3.81 ms full-pipeline."""
 _TPI = int(_os.environ.get("PSXAVENC_MXU_TPI", "4"))
 """128-u32 output tiles per segment iteration (env-tunable for perf
-sweeps; 4 measured best on v5e — see tools/profile_stages.py)."""
+sweeps; 4 measured best on v5e — per-iteration Mosaic overhead
+dominated at 1; sweep 1/2/4/8 -> 5.02/4.26/3.49/3.67 ms)."""
 
 
 def _mxu_place_kernel(j0_ref, nwin_ref, e0_ref, bytes_ref, out_ref, *,
