@@ -46,6 +46,17 @@ class BsFrameEncoder:
         # hides entirely behind the fetch).
         self._uploader = ThreadPoolExecutor(max_workers=1)
 
+    def close(self):
+        """Release the uploader thread (idempotent; also via __del__ —
+        long-lived batch processes create one encoder per geometry)."""
+        self._uploader.shutdown(wait=False)
+
+    def __del__(self):  # noqa: D105 — best-effort resource release
+        try:
+            self._uploader.shutdown(wait=False)
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
+
     def _sharded_step(self, cap_words):
         key = cap_words
         step = self._sharded_steps.get(key)

@@ -110,11 +110,11 @@ def test_fallback_remix_resample_golden(tmp_path, oracle, src_ch, dst_ch,
     wav = write_wav(tmp_path / "in.wav", pcm, src_rate, channels=src_ch)
     ref = tmp_path / "ref.xa"
     our = tmp_path / "our.xa"
-    args = ["-t", "xa", "-f", str(dst_rate) if dst_rate in (18900, 37800)
-            else "37800", "-c", str(dst_ch)]
-    if dst_rate not in (18900, 37800):
-        # XA only accepts 18900/37800; resample to dst via -f is not
-        # possible, so run those through spu (mono) instead.
+    if dst_rate in (18900, 37800):
+        args = ["-t", "xa", "-f", str(dst_rate), "-c", str(dst_ch)]
+    else:
+        # XA only accepts 18900/37800; other target rates run through
+        # spu (mono).
         args = ["-t", "spu", "-f", str(dst_rate)]
     r = run_oracle(["-q"] + args + [wav, ref])
     assert r.returncode == 0, r.stderr

@@ -52,3 +52,24 @@ def test_vag_golden(tmp_path, oracle, n, rate, extra, loop):
     ref, ours = _encode_both(
         tmp_path, oracle, (pcm, rate, kw), ["-t", "vag"] + extra)
     assert ref == ours
+
+
+def test_spu_golden_xla_tier(tmp_path, oracle, monkeypatch):
+    """The XLA scan wrapper (encode_prepared_units' bucket padding,
+    output slicing, state recovery) is the LAST-resort tier once the
+    native encoder exists; keep it golden-covered end-to-end by forcing
+    it with PSXAVENC_NO_NATIVE_ADPCM."""
+    monkeypatch.setenv("PSXAVENC_NO_NATIVE_ADPCM", "1")
+    pcm = rand_pcm(12345, seed=77)
+    ref, ours = _encode_both(
+        tmp_path, oracle, (pcm, 44100, {}), ["-t", "spu"], name="xlat")
+    assert ref == ours
+
+
+def test_vag_golden_xla_tier(tmp_path, oracle, monkeypatch):
+    monkeypatch.setenv("PSXAVENC_NO_NATIVE_ADPCM", "1")
+    pcm = rand_pcm(30011, seed=78)
+    ref, ours = _encode_both(
+        tmp_path, oracle, (pcm, 44100, {"loop_start": 5000}),
+        ["-t", "vag"], name="xlat")
+    assert ref == ours
