@@ -354,6 +354,35 @@ def measure_audio_cli_path(seconds=20):
     return out
 
 
+def measure_batch_runner(n_files=32, seconds=2):
+    """Multi-file grouped throughput: N spu jobs through the batch
+    runner (ONE device call for the whole group) vs running them
+    serially, wall-clock files/sec. This is the framework's headline
+    batch axis (SURVEY §2.2)."""
+    from psxavenc_tpu import batch
+    from psxavenc_tpu.utils import synth
+
+    with tempfile.TemporaryDirectory() as td:
+        td = pathlib.Path(td)
+        jobs = []
+        for i in range(n_files):
+            pcm = synth.rand_pcm(AUDIO_RATE * seconds, seed=100 + i)
+            wav = synth.write_wav(td / f"j{i}.wav", pcm, AUDIO_RATE)
+            jobs.append(["-q", "-t", "spu", "-f", str(AUDIO_RATE),
+                         str(wav), str(td / f"j{i}.spu")])
+        out = {}
+        for label, group in (("grouped", True), ("serial", False)):
+            # Warm pass first: remote TPU compiles take 60-100 s and
+            # would otherwise be billed to whichever mode ran cold.
+            batch.run_jobs(jobs, group=group, quiet=True)
+            t0 = time.monotonic()
+            rcs = batch.run_jobs(jobs, group=group, quiet=True)
+            dt = time.monotonic() - t0
+            assert all(rc == 0 for rc in rcs), rcs
+            out[label] = n_files / dt
+    return out
+
+
 def main():
     import jax
 
@@ -395,6 +424,10 @@ def main():
         log(f"ours: device batch sweep {batch_sweep}")
     audio_msps = measure_ours_audio()
     log(f"ours: audio {audio_msps:.2f} Msamples/s")
+    batch_runner = measure_batch_runner() if dev.platform == "tpu" else {}
+    if batch_runner:
+        log(f"ours: batch runner {batch_runner['grouped']:.1f} files/s "
+            f"grouped vs {batch_runner['serial']:.1f} serial")
 
     details = {
         "device": str(dev),
@@ -409,6 +442,7 @@ def main():
         "audio_cli_path_msps": audio_cli,
         "video_e2e_overlap_gain_pct": overlap_gain,
         "video_device_batch_sweep_fps": batch_sweep,
+        "batch_runner_files_per_sec": batch_runner,
         "notes": "video_fps is end-to-end through the dev tunnel and "
                  "since r4 INCLUDES the raw-NV21 frame upload (r3's "
                  "number kept frames device-resident, so r3/r4 e2e "
