@@ -295,29 +295,33 @@ def measure_video_device(batch=64, iters=8):
         0, 256, (batch, VIDEO_W * VIDEO_H * 3 // 2)).astype(np.uint8))
     budgets = jax.device_put(np.full(batch, FRAME_BUDGET, np.int32))
 
+    # Frames/budgets MUST be jit ARGUMENTS: closure-captured device
+    # arrays are compile-time constants and XLA folds whole leading
+    # stages (the coefs pipeline of constant frames folded at compile
+    # time here and overstated throughput by ~25% in earlier rounds).
     @jax.jit
-    def run():
+    def run(fr, bu):
         out = api.bs_encode_frames_packed(
-            frames, budgets, codec=bs_ops.BS_V2, width=VIDEO_W,
+            fr, bu, codec=bs_ops.BS_V2, width=VIDEO_W,
             height=VIDEO_H, capacity_words=cap)
         return (out["words"].astype(jnp.int32).sum() + out["scale"].sum())
 
     @jax.jit
-    def tiny():
-        return budgets.sum()
+    def tiny(bu):
+        return bu.sum()
 
-    np.asarray(run())
-    np.asarray(tiny())
+    np.asarray(run(frames, budgets))
+    np.asarray(tiny(budgets))
     lats = []
     for _ in range(5):
         t0 = time.monotonic()
-        np.asarray(tiny())
+        np.asarray(tiny(budgets))
         lats.append(time.monotonic() - t0)
     fetch = sorted(lats)[2]
     t0 = time.monotonic()
     last = None
     for _ in range(iters):
-        last = run()
+        last = run(frames, budgets)
     np.asarray(last)
     dt = (time.monotonic() - t0 - fetch) / iters
     return batch / dt
