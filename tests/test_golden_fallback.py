@@ -80,16 +80,23 @@ def test_swr_exact_matches_native(tmp_path, monkeypatch, src_rate,
     from psxavenc_tpu.native import ingest_ext
 
     monkeypatch.delenv("PSXAVENC_NO_NATIVE_INGEST")
-    pcm = rand_pcm(src_rate * 2, channels=2, seed=31)
-    wav = write_wav(tmp_path / "in.wav", pcm, src_rate, channels=2)
-    exact = swr_exact.resample(pcm, src_rate, dst_rate)
-    assert exact is not None
-    r = ingest_ext.ingest(
-        str(wav), flags=1, audio_frequency=dst_rate, audio_channels=2,
-        video_width=320, video_height=240, ignore_aspect=1, fps_num=15,
-        fps_den=1, quiet=1)
-    native = r["audio"].reshape(-1, 2)
-    assert np.array_equal(exact, native)
+    # The output-length rule len = (n*L - D) // M is only observable at
+    # the window boundary (n*L ≡ D mod M) — exactly where round 3's
+    # calibration was off by one; include that n alongside a generic one.
+    _, _, _, L, M, D = swr_exact._load()[(src_rate, dst_rate)]
+    n_edge = 2 * src_rate + ((D * pow(L, -1, M) - 2 * src_rate) % M)
+    for n in (2 * src_rate, n_edge):
+        pcm = rand_pcm(n, channels=2, seed=31)
+        wav = write_wav(tmp_path / "in.wav", pcm, src_rate, channels=2)
+        exact = swr_exact.resample(pcm, src_rate, dst_rate)
+        assert exact is not None
+        r = ingest_ext.ingest(
+            str(wav), flags=1, audio_frequency=dst_rate,
+            audio_channels=2, video_width=320, video_height=240,
+            ignore_aspect=1, fps_num=15, fps_den=1, quiet=1)
+        native = r["audio"].reshape(-1, 2)
+        assert exact.shape == native.shape, (n, exact.shape, native.shape)
+        assert np.array_equal(exact, native), n
 
 
 @pytest.mark.parametrize("src_ch,dst_ch,src_rate,dst_rate", [

@@ -135,3 +135,37 @@ def test_fuzz_streaming(tmp_path, oracle, monkeypatch, seed):
                                payload + b * 128 + 16))
     assert _normalize(ref, ssize, mask) == _normalize(ours, ssize, mask), \
         args
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_fallback_resample_remix(tmp_path, oracle, monkeypatch,
+                                      seed):
+    """Random (source rate x channels) -> (XA/SPU target) through the
+    ffmpeg-free fallback tier: exercises the 24 swr tap banks, the
+    probed Q15 remix matrices, and swresample's rematrix/resample
+    ORDER on draws the fixed-matrix tests don't cover."""
+    monkeypatch.setenv("PSXAVENC_NO_NATIVE_INGEST", "1")
+    monkeypatch.setenv("PSXAVENC_STREAMING", "0")
+    rng = np.random.default_rng(9000 + seed)
+    src_rate = int(rng.choice([8000, 11025, 16000, 22050, 24000, 32000,
+                               44100, 48000]))
+    src_ch = int(rng.choice([1, 2, 4, 6]))
+    if rng.random() < 0.5:
+        fmt, dst_rate = "xa", int(rng.choice([18900, 37800]))
+        dst_ch = int(rng.choice([1, 2]))
+        args = ["-t", fmt, "-f", dst_rate, "-c", dst_ch]
+    else:
+        fmt, dst_rate = "spu", int(rng.choice([18900, 22050, 44100]))
+        args = ["-t", fmt, "-f", dst_rate]
+    n = int(rng.integers(src_rate // 2, src_rate * 2))
+    pcm = rand_pcm(n, channels=src_ch, seed=9500 + seed)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    wav = write_wav(tmp_path / "i.wav", pcm, src_rate, channels=src_ch)
+    ref, ours = _both(tmp_path, wav, args, "bin")
+    assert len(ref) == len(ours), (args, src_rate, src_ch)
+    if fmt == "xa":
+        ssize, mask = _mask_for("xa", 4)
+        ref, ours = _normalize(ref, ssize, mask), _normalize(
+            ours, ssize, mask)
+    assert ref == ours, (args, src_rate, src_ch)

@@ -27,16 +27,11 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 from psxavenc_tpu.native import ingest_ext  # noqa: E402
 from psxavenc_tpu.utils.synth import write_wav  # noqa: E402
 
-RATIOS = [
-    # every common source rate to the XA rates
-    (8000, 37800), (8000, 18900), (11025, 37800), (11025, 18900),
-    (16000, 37800), (16000, 18900), (22050, 37800), (22050, 18900),
-    (24000, 37800), (24000, 18900), (32000, 37800), (32000, 18900),
-    (44100, 37800), (44100, 18900), (48000, 37800), (48000, 18900),
-    # common SPU/VAG sample-rate conversions
-    (44100, 22050), (48000, 22050), (48000, 44100), (32000, 44100),
-    (22050, 44100), (37800, 44100), (44100, 11025), (48000, 11025),
-]
+# Every common source rate to every PSX-relevant target: the XA rates
+# (37800/18900) and the usual SPU/VAG rates (44100/22050/11025).
+_SOURCES = [8000, 11025, 16000, 22050, 24000, 32000, 37800, 44100, 48000]
+_TARGETS = [11025, 18900, 22050, 37800, 44100]
+RATIOS = [(s, d) for s in _SOURCES for d in _TARGETS if s != d]
 
 OUT = (pathlib.Path(__file__).resolve().parents[1] / "psxavenc_tpu"
        / "data" / "swr_banks.npz")
@@ -164,23 +159,38 @@ def build_bank(src, dst):
         for p, t in r.items():
             taps[n, p - s] = t
 
-    # Output length rule: len = floor((n_in * L - D) / M), from probes.
-    # Include exactly-divisible n_in (n_in*L % M == 0): the open/closed
-    # boundary of the floor is only observable there, and real inputs hit
-    # it (e.g. 2 s of 16000 Hz -> 18900 is exactly divisible).
-    probes = [2000, 2611, 3000, 3777, 4097, 5000, 8191]
-    probes += [-(-2500 // M) * M, -(-6000 // M) * M, 2 * src]
-    lens = {}
-    for n_in in sorted(set(probes)):
-        lens[n_in] = len(swr(np.zeros(n_in, np.int16), src, dst))
-    ds = {n_in * L - M * ln for n_in, ln in lens.items()}
-    # len = floor((n*L - D)/M) needs d - M < D <= d for every probe's
-    # d = n*L - M*len; intersect.
-    lo_excl = max(ds) - M
-    hi_incl = min(ds)
-    assert lo_excl < hi_incl, \
-        f"length rule inconsistent for {src}->{dst}: {lens}"
-    D = hi_incl
+    # Output length rule: len = floor((n_in * L - D) / M). A probe at
+    # n_in observes d(n) = n*L - M*len = ((n*L - D) mod M) + D, so a
+    # handful of arbitrary probes only bound D from above (their minimum
+    # can sit anywhere in D's M-wide window — round 3 shipped a wrong D
+    # for residues it never sampled, observable as an off-by-one output
+    # length). Recover D EXACTLY: probing an n with n*L ≡ c (mod M)
+    # yields d == c iff D <= c (else c + M), i.e. each probe answers
+    # "is D <= c" — binary-search c. gcd(L, M) == 1 after reduction, so
+    # every residue is reachable via n ≡ c * L^-1 (mod M).
+    def probe_d(n_in):
+        return n_in * L - M * len(swr(np.zeros(n_in, np.int16), src, dst))
+
+    d0 = min(probe_d(n) for n in (3000, 3777, 2 * src))
+    linv = pow(L, -1, M)
+    lo, hi = d0 - M + 1, d0            # D in [lo, hi]
+    base = 4000
+    while lo < hi:
+        mid = (lo + hi) // 2
+        n_test = base + ((mid * linv - base) % M)
+        dm = probe_d(n_test)
+        assert dm in (mid, mid + M), \
+            f"length rule not floor-form for {src}->{dst}: {dm} vs {mid}"
+        if dm == mid:
+            hi = mid
+        else:
+            lo = mid + 1
+    D = lo
+    # Confirm on scattered residues incl. the exact-divisible boundary.
+    for n_in in (2000, 2611, 8191, -(-6000 // M) * M,
+                 base + ((D * linv - base) % M)):
+        ln = len(swr(np.zeros(n_in, np.int16), src, dst))
+        assert ln == (n_in * L - D) // M, (n_in, ln, D)
 
     # Verify exactly on random data (twice, incl. the clip path).
     rng = np.random.default_rng(0)
