@@ -276,16 +276,27 @@ def _cumsum_excl_cols(x):
 
 
 def _emit_pack_kernel(scale_ref, c_ref, dcc_ref, dcb_ref, qcol_ref,
-                      rcp_ref, streams_ref, bbits_ref):
+                      rcp_ref, streams_ref, bbits_ref, *, nchunks):
+    """One grid step per FRAME (TPU grids are sequential; fat steps
+    amortize per-step Mosaic dispatch — the former (B, ntiles) grid paid
+    it 4x per frame), statically unrolled over the TILE-wide chunks."""
     b = pl.program_id(0)
     s = scale_ref[b]
-
-    c = c_ref[0]                                   # (63, TILE)
-    tp = c.shape[1]
     q_col = qcol_ref[...]
     rcp_base = rcp_ref[...]
-    dc_code = dcc_ref[0, 0, :].reshape(1, tp).astype(jnp.uint32)
-    dc_bits = dcb_ref[0, 0, :].reshape(1, tp)
+    for ci in range(nchunks):
+        _emit_pack_chunk(
+            s, c_ref[0, :, ci * TILE:(ci + 1) * TILE],
+            dcc_ref[0, 0, ci * TILE:(ci + 1) * TILE],
+            dcb_ref[0, 0, ci * TILE:(ci + 1) * TILE],
+            q_col, rcp_base, streams_ref, bbits_ref, ci)
+
+
+def _emit_pack_chunk(s, c, dcc, dcb, q_col, rcp_base, streams_ref,
+                     bbits_ref, ci):
+    tp = c.shape[1]
+    dc_code = dcc.reshape(1, tp).astype(jnp.uint32)
+    dc_bits = dcb.reshape(1, tp)
 
     # --- quantize at the winning scale (exact round-half-away via f32
     # reciprocal + integer correction, as bs._div_rounded_fast).
@@ -315,7 +326,7 @@ def _emit_pack_kernel(scale_ref, c_ref, dcc_ref, dcb_ref, qcol_ref,
     # --- in-block offsets: DC first, ACs in scan order, EOB last.
     offs = dc_bits + _cumsum_excl_cols(bits)       # (63, TILE)
     total = offs[62:63, :] + bits[62:63, :]        # after last AC
-    bbits_ref[0, 0, :] = (total + 2)[0]
+    bbits_ref[0, 0, ci * TILE:(ci + 1) * TILE] = (total + 2)[0]
 
     # --- dense window packing into the (BCAP, TILE) per-block streams
     # (bit-identical to bitpack._pack_block_streams). Accumulate in
@@ -352,7 +363,8 @@ def _emit_pack_kernel(scale_ref, c_ref, dcc_ref, dcb_ref, qcol_ref,
     acc = place(acc, total, jnp.full((1, tp), 2, jnp.int32),
                 jnp.full((1, tp), 0x2, jnp.uint32))
     w16 = jnp.stack([acc >> 16, acc & 0xFFFF], axis=1)  # (8, 2, tp)
-    streams_ref[0] = w16.reshape(bpk.BCAP, tp).astype(jnp.int32)
+    streams_ref[0, :, ci * TILE:(ci + 1) * TILE] = \
+        w16.reshape(bpk.BCAP, tp).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -394,26 +406,26 @@ def emit_pack_pallas(coefs_zz, scale, dc_code, dc_bits, *,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, ntiles),
-        in_specs=[pl.BlockSpec((1, 63, TILE), lambda b, t, s: (b, 0, t),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, 63, nb_pad), lambda b, s: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 1, TILE), lambda b, t, s: (b, 0, t),
+                  pl.BlockSpec((1, 1, nb_pad), lambda b, s: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 1, TILE), lambda b, t, s: (b, 0, t),
+                  pl.BlockSpec((1, 1, nb_pad), lambda b, s: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((63, 1), lambda b, t, s: (0, 0),
+                  pl.BlockSpec((63, 1), lambda b, s: (0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((63, 1), lambda b, t, s: (0, 0),
+                  pl.BlockSpec((63, 1), lambda b, s: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[
-            pl.BlockSpec((1, bpk.BCAP, TILE), lambda b, t, s: (b, 0, t),
+            pl.BlockSpec((1, bpk.BCAP, nb_pad), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TILE), lambda b, t, s: (b, 0, t),
+            pl.BlockSpec((1, 1, nb_pad), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
     streams, bbits = pl.pallas_call(
-        _emit_pack_kernel,
+        functools.partial(_emit_pack_kernel, nchunks=ntiles),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, bpk.BCAP, nb_pad), jnp.int32),
