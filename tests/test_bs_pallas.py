@@ -81,6 +81,32 @@ def test_select_scale_pallas_edges_interpret():
     assert scale[2] == 1 and bits[2] == 0 and nz[2] == 0
 
 
+def test_select_seed_gallop_adversarial_interpret():
+    """The cross-frame seeded gallop must stay exact for ADVERSARIAL
+    scale sequences: alternating loose/tight budgets (answers jumping
+    between 1 and high scales), unfittable frames mid-batch (stored
+    seed clamps to 63), and monotone ramps — every frame's answer must
+    match the exact first-fit rule regardless of what the previous
+    frame seeded."""
+    rng = np.random.default_rng(11)
+    B = 8
+    c = rng.integers(-3000, 3000, (B, 63, bsp.TILE)).astype(np.int32)
+    bits_ps, nz_ps = _xla_all_scales(jnp.asarray(c))
+    lo = bits_ps.min(axis=1)
+    hi = bits_ps.max(axis=1)
+    # Per-frame quantiles: alternate extremes, insert unfittable frames,
+    # then a ramp.
+    q = np.array([1.0, 0.0, 1.0, -1.0, 0.05, 0.95, 0.5, -1.0])
+    thr = np.where(q < 0, np.int32(-1),
+                   (lo + q * (hi - lo))).astype(np.int32)
+    want = _first_fit(bits_ps, nz_ps, thr)
+    got = bsp.select_scale_pallas(jnp.asarray(c), jnp.asarray(thr),
+                                  interpret=True)
+    for g, w in zip(got, want):
+        assert np.array_equal(np.asarray(g), w), (np.asarray(got[0]),
+                                                  want[0])
+
+
 def test_ladder_lower_bound_properties():
     """The in-kernel ladder LB never exceeds the exact totals and is
     monotone non-increasing in scale (the two facts that make the
