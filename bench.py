@@ -418,8 +418,9 @@ def main():
     log(f"ours: video {video_dev_fps:.2f} fps (device-side)")
     # Batch-size sweep (VERDICT r3 item 9): per-frame overhead fell in
     # r4, so re-test whether bigger batches help. Measured answer on
-    # v5e: they don't — 64 stays the sweet spot (128 ~-18%, 256 ~-55%,
-    # VMEM pressure on the select/emit frame tiles).
+    # v5e: they don't — 64 stays the sweet spot (128 ~-8% on the honest
+    # argument-passing harness; 256 was far worse in the earlier sweep
+    # and is skipped here to bound bench runtime).
     batch_sweep = {}
     if dev.platform == "tpu":
         for b in (32, 128):

@@ -102,9 +102,8 @@ def test_select_seed_gallop_adversarial_interpret():
     want = _first_fit(bits_ps, nz_ps, thr)
     got = bsp.select_scale_pallas(jnp.asarray(c), jnp.asarray(thr),
                                   interpret=True)
-    for g, w in zip(got, want):
-        assert np.array_equal(np.asarray(g), w), (np.asarray(got[0]),
-                                                  want[0])
+    for name, g, w in zip(("scale", "bits", "nz"), got, want):
+        assert np.array_equal(np.asarray(g), w), (name, np.asarray(g), w)
 
 
 def test_ladder_lower_bound_properties():
@@ -216,3 +215,67 @@ def test_emit_pack_pallas_interpret(monkeypatch):
         for k in ("scale", "words", "total_bits", "nz_count"):
             assert np.array_equal(np.asarray(blocks[k]),
                                   np.asarray(fused[k])), (codec, k)
+
+
+def test_emit_pack_pallas_multichunk_interpret():
+    """The emit kernel's hand-rolled per-frame chunk loop (one grid step
+    per frame since r4) at NB > TILE — the production 320x240 shape
+    class that the 32x32 api test doesn't reach: chunk-sliced stores of
+    streams/bbits must be bit-identical to the XLA per-block packer."""
+    from psxavenc_tpu.ops import bitpack as bp
+
+    rng = np.random.default_rng(13)
+    B, NB = 2, bsp.TILE + 137                      # 2 chunks, ragged tail
+    c = rng.integers(-800, 800, (B, 63, NB)).astype(np.int32)
+    scale = np.array([3, 17], np.int32)
+    dc_bits = rng.integers(2, 11, (B, NB)).astype(np.int32)
+    dc_code = rng.integers(0, 1 << 10, (B, NB)).astype(np.int32) \
+        & ((1 << dc_bits) - 1)
+    streams, bbits = bsp.emit_pack_pallas(
+        jnp.asarray(c), jnp.asarray(scale), jnp.asarray(dc_code),
+        jnp.asarray(dc_bits), interpret=True)
+
+    # XLA reference: emit symbols per block, pack densely.
+    zz = bs_ops.ZAGZIG[1:]
+    q = jnp.asarray(bs_ops.QUANT_PSX[zz])
+    for b in range(B):
+        ac = np.asarray(bs_ops._ac_quant(
+            jnp.asarray(c[b:b + 1]), (q * int(scale[b]))[None, :, None])
+        )[0]
+        ac = np.clip(ac, -0x200, 0x1FE)
+        nzm = ac != 0
+        run = np.zeros_like(ac)
+        for col in range(NB):
+            r = 0
+            for i in range(63):
+                if nzm[i, col]:
+                    run[i, col] = r
+                    r = 0
+                else:
+                    r += 1
+        bits_nz = np.asarray(bs_ops.ac_bits_closed_form(
+            jnp.asarray(run), jnp.asarray(np.abs(ac))))
+        code_nz = np.asarray(bs_ops.ac_code_closed_form(
+            jnp.asarray(run), jnp.asarray(ac),
+            jnp.asarray(bits_nz))).astype(np.uint32)
+        codes = np.zeros((NB, 65), np.uint32)
+        bl = np.zeros((NB, 65), np.int32)
+        codes[:, 0] = dc_code[b]
+        bl[:, 0] = dc_bits[b]
+        for col in range(NB):
+            k = 1
+            for i in range(63):
+                if nzm[i, col]:
+                    codes[col, k] = code_nz[i, col]
+                    bl[col, k] = bits_nz[i, col]
+                    k += 1
+            codes[col, k] = 0x2
+            bl[col, k] = 2
+        offs = np.cumsum(bl, axis=1) - bl
+        ref_s = np.asarray(bp._pack_block_streams(
+            jnp.asarray(codes), jnp.asarray(bl), jnp.asarray(offs),
+            bcap=bp.BLOCK_CAP_WORDS))
+        assert np.array_equal(bl.sum(axis=1), np.asarray(bbits)[b]), b
+        assert np.array_equal(ref_s.astype(np.uint32) & 0xFFFF,
+                              np.asarray(streams)[b].astype(np.uint32)
+                              & 0xFFFF), b

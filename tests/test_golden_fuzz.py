@@ -141,7 +141,7 @@ def test_fuzz_streaming(tmp_path, oracle, monkeypatch, seed):
 def test_fuzz_fallback_resample_remix(tmp_path, oracle, monkeypatch,
                                       seed):
     """Random (source rate x channels) -> (XA/SPU target) through the
-    ffmpeg-free fallback tier: exercises the 24 swr tap banks, the
+    ffmpeg-free fallback tier: exercises the 41 swr tap banks, the
     probed Q15 remix matrices, and swresample's rematrix/resample
     ORDER on draws the fixed-matrix tests don't cover."""
     monkeypatch.setenv("PSXAVENC_NO_NATIVE_INGEST", "1")
