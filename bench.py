@@ -280,14 +280,18 @@ def _validate_pallas():
     log("pallas bit-packer kernels: bit-exact vs XLA packer on device")
 
 
-def measure_video_device(batch=64, iters=8):
+def measure_video_device(batch=64, iters=8, codec=None):
     """Device-side video throughput (pixels -> packed words), pipelined
     launches with one checksum fetch to drain the queue, fetch-latency
-    subtracted."""
+    subtracted. ``codec`` defaults to BS v2 (the headline config);
+    passing BS_V3DC records the DC-delta codec's rate."""
     import jax
     import jax.numpy as jnp
     from psxavenc_tpu import api
     from psxavenc_tpu.ops import bs as bs_ops
+
+    if codec is None:
+        codec = bs_ops.BS_V2
 
     cap = (FRAME_BUDGET - 8) // 2
     rng = np.random.default_rng(3)
@@ -302,7 +306,7 @@ def measure_video_device(batch=64, iters=8):
     @jax.jit
     def run(fr, bu):
         out = api.bs_encode_frames_packed(
-            fr, bu, codec=bs_ops.BS_V2, width=VIDEO_W,
+            fr, bu, codec=codec, width=VIDEO_W,
             height=VIDEO_H, capacity_words=cap)
         return (out["words"].astype(jnp.int32).sum() + out["scale"].sum())
 
@@ -427,6 +431,12 @@ def main():
             batch_sweep[str(b)] = measure_video_device(batch=b, iters=8)
         batch_sweep["64"] = video_dev_fps
         log(f"ours: device batch sweep {batch_sweep}")
+    v3dc_fps = None
+    if dev.platform == "tpu":
+        from psxavenc_tpu.ops import bs as bs_ops_m
+
+        v3dc_fps = measure_video_device(codec=bs_ops_m.BS_V3DC)
+        log(f"ours: video v3dc {v3dc_fps:.2f} fps (device-side)")
     audio_msps = measure_ours_audio()
     log(f"ours: audio {audio_msps:.2f} Msamples/s")
     batch_runner = measure_batch_runner() if dev.platform == "tpu" else {}
@@ -447,6 +457,7 @@ def main():
         "audio_cli_path_msps": audio_cli,
         "video_e2e_overlap_gain_pct": overlap_gain,
         "video_device_batch_sweep_fps": batch_sweep,
+        "video_fps_device_v3dc": v3dc_fps,
         "batch_runner_files_per_sec": batch_runner,
         "notes": "video_fps is end-to-end through the dev tunnel and "
                  "since r4 INCLUDES the raw-NV21 frame upload (r3's "

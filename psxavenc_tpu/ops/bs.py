@@ -130,8 +130,10 @@ def _build_ac_luts():
 
 def _build_dc_luts():
     """(3, 512) (bits, code) LUTs keyed by delta & 0x1FF per block type
-    (mdec.c:270-318). Unmapped keys (|delta| > 255, reference UB: reads
-    uninitialized memory) fall back to the widest code of the right sign."""
+    (mdec.c:270-318). The one unmapped key (delta -256, reference UB:
+    reads uninitialized memory; reachable only from pathological
+    alternating +-512 DC content under BS v3) deterministically reuses
+    delta -255's widest negative code."""
     bits = np.zeros((3, 512), dtype=np.int32)
     code = np.zeros((3, 512), dtype=np.uint32)
     specials = {INDEX_CR: (2, 0x0), INDEX_CB: (2, 0x0), INDEX_Y: (3, 0x4)}
@@ -152,6 +154,8 @@ def _build_dc_luts():
                     (1 << dc_bits) | j
                 bits[idx, neg] = n_bits
                 code[idx, neg] = (c_value << (dc_bits + 1)) | j
+        bits[idx, 256] = bits[idx, 257]     # delta -256 -> -255's code
+        code[idx, 256] = code[idx, 257]
     return bits, code
 
 
@@ -267,6 +271,39 @@ def ac_code_closed_form(run, ac, bits):
     escape = jnp.uint32(1 << 16) | (
         ((r << 10) | (ac & 0x3FF)).astype(jnp.uint32))
     return jnp.where(bits == 22, escape, (prefix << 1) | sign)
+
+
+def dc_bits_code_closed_form(types, keys):
+    """BS v3 DC-delta Huffman (bits, code) as arithmetic on the 9-bit
+    delta key — the DC analog of :func:`ac_bits_closed_form`: the
+    (3, 512)-LUT gathers it replaces were ~2.6 ms of a 64-frame batch on
+    TPU (gathers dominate; the table structure is magnitude-class coded,
+    mdec.c:159-187). Matches DC_BITS_LUT/DC_CODE_LUT exhaustively over
+    every (type, key), incl. the unmapped delta -256 (-> -255's code)
+    — tests/test_bs_ops.py.
+
+    types: 0/1 = chroma (Cr/Cb share a tree), 2 = luma.
+    """
+    sd = ((keys & 0x1FF) ^ 0x100) - 0x100        # sign-extend 9-bit
+    sd = jnp.maximum(sd, -255)                   # unmapped -256 -> -255
+    mag = jnp.abs(sd)
+    db = ((mag >= 2).astype(jnp.int32) + (mag >= 4) + (mag >= 8)
+          + (mag >= 16) + (mag >= 32) + (mag >= 64) + (mag >= 128))
+    is_y = types == INDEX_Y
+
+    bits_c = jnp.where(db == 0, 3, 2 * db + 2)
+    bits = jnp.where(is_y & (db >= 3), 2 * db + 1, bits_c)
+    bits = jnp.where(mag == 0, jnp.where(is_y, 3, 2), bits)
+
+    pv_c = jnp.where(db == 0, 1, (1 << (db + 1)) - 2)
+    pv_y = jnp.where(db >= 4, (1 << db) - 2,
+                     jnp.where(db == 3, 6, jnp.where(db == 2, 5, db)))
+    pv = jnp.where(is_y, pv_y, pv_c)
+    mask = (1 << (db + 1)) - 1
+    suffix = jnp.where(sd > 0, sd & mask, (sd - 1) & mask)
+    code = (pv << (db + 1)) | suffix
+    code = jnp.where(mag == 0, jnp.where(is_y, 4, 0), code)
+    return bits, code.astype(jnp.uint32)
 
 
 def dc_chain(dc, codec):
@@ -464,8 +501,7 @@ def encode_frames_symbols(coefs, frame_max_sizes, *, codec,
         dc_code = (dc_q & 0x3FF).astype(jnp.uint32)
     else:
         keys, types = jax.vmap(lambda d: dc_chain(d, codec))(dc_q)
-        dc_bits = jnp.asarray(DC_BITS_LUT)[types, keys]
-        dc_code = jnp.asarray(DC_CODE_LUT)[types, keys]
+        dc_bits, dc_code = dc_bits_code_closed_form(types, keys)
 
     zz = jnp.asarray(ZAGZIG[1:])           # (63,) block indices, scan order
     # Layout (B, 63 positions, NB): the big MB axis sits on the TPU lane

@@ -105,3 +105,15 @@ def test_dc_chain_matches_sequential(v3dc):
         assert np.asarray(keys).tolist() == want, trial
         assert np.array_equal(np.asarray(types),
                               np.minimum(np.arange(nb) % 6, 2))
+
+
+def test_dc_closed_form_matches_lut_exhaustive():
+    """dc_bits_code_closed_form == the (3, 512) DC LUTs for EVERY
+    (type, key), including the unmapped delta -256 (deterministically
+    -255's widest negative code)."""
+    keys = np.tile(np.arange(512, dtype=np.int32), 3)
+    types = np.repeat(np.arange(3, dtype=np.int32), 512)
+    b, c = bs.dc_bits_code_closed_form(jnp.asarray(types),
+                                       jnp.asarray(keys))
+    assert np.array_equal(np.asarray(b), bs.DC_BITS_LUT[types, keys])
+    assert np.array_equal(np.asarray(c), bs.DC_CODE_LUT[types, keys])
