@@ -413,13 +413,15 @@ def main():
     if audio_cli:
         log(f"ours: CLI-path audio pallas {audio_cli['pallas']:.1f} vs "
             f"fallback (native) {audio_cli['fallback']:.1f} Msamples/s")
-    video_fps, overlap_gain = measure_ours_video()
-    log(f"ours: video {video_fps:.2f} fps (e2e tunnel, incl. frame "
-        f"upload; double-buffered upload gains {overlap_gain:.0f}% over "
-        f"serial)")
+    # Device-side measurements run BEFORE the e2e upload loops: the
+    # tunnel degrades for minutes after heavy H2D traffic, and the
+    # fetch-baseline calibration inherits that (observed: the headline
+    # batch-64 reading landed 20% under the same run's batch-32/v3dc
+    # numbers when it was measured right after the e2e loop).
     video_dev_fps = measure_video_device() if dev.platform == "tpu" \
-        else video_fps
-    log(f"ours: video {video_dev_fps:.2f} fps (device-side)")
+        else None
+    if video_dev_fps is not None:
+        log(f"ours: video {video_dev_fps:.2f} fps (device-side)")
     # Batch-size sweep (VERDICT r3 item 9): per-frame overhead fell in
     # r4, so re-test whether bigger batches help. Measured answer on
     # v5e: they don't — 64 stays the sweet spot (128 ~-8% on the honest
@@ -439,6 +441,12 @@ def main():
         log(f"ours: video v3dc {v3dc_fps:.2f} fps (device-side)")
     audio_msps = measure_ours_audio()
     log(f"ours: audio {audio_msps:.2f} Msamples/s")
+    video_fps, overlap_gain = measure_ours_video()
+    log(f"ours: video {video_fps:.2f} fps (e2e tunnel, incl. frame "
+        f"upload; double-buffered upload gains {overlap_gain:.0f}% over "
+        f"serial)")
+    if video_dev_fps is None:
+        video_dev_fps = video_fps
     batch_runner = measure_batch_runner() if dev.platform == "tpu" else {}
     if batch_runner:
         log(f"ours: batch runner {batch_runner['grouped']:.1f} files/s "
