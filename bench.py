@@ -87,16 +87,16 @@ def _timed_loop(fn, min_seconds=2.0, max_iters=200):
             return iters, dt
 
 
-def measure_ours_video(batch=128):
+def measure_ours_video(batch=128, iters=6):
     """End-to-end video throughput INCLUDING the host->device frame
-    upload, with the production double-buffered pipeline (bs_video's
-    uploader thread): batch k+1's upload + dispatch overlap batch k's
-    compute + payload fetch. Returns (e2e_fps, overlap_gain_pct vs a
-    fully serial upload->compute->fetch loop)."""
-    from concurrent.futures import ThreadPoolExecutor
-
+    upload and host-side frame assembly, through the PRODUCTION encoder
+    (models.bs_video.BsFrameEncoder — the path the CLI muxers drive,
+    incl. its double-buffered uploader thread). The serial baseline
+    emulates the same work without the overlap (upload -> compute ->
+    fetch per chunk). Returns (e2e_fps, overlap_gain_pct)."""
     from psxavenc_tpu import api
     from psxavenc_tpu.io.ingest import _scale_frame_nv21
+    from psxavenc_tpu.models.bs_video import BsFrameEncoder
     from psxavenc_tpu.ops import bs as bs_ops
     from psxavenc_tpu.utils import synth
 
@@ -106,36 +106,35 @@ def measure_ours_video(batch=128):
         _scale_frame_nv21(y, cb, cr, VIDEO_W, VIDEO_H, VIDEO_W, VIDEO_H)
         for (y, cb, cr) in frames])
     nv21 = np.tile(nv21, (batch // uniq, 1))
-    budgets = np.full(batch, FRAME_BUDGET, np.int32)
+    frame_list = [nv21[i] for i in range(batch)]
+    sizes = [FRAME_BUDGET] * batch
+    budgets = np.full(32, FRAME_BUDGET, np.int32)
     cap = (FRAME_BUDGET - 8) // 2
 
-    def launch():
-        return api.bs_encode_frames_packed(
-            nv21, budgets, codec=bs_ops.BS_V2, width=VIDEO_W,
-            height=VIDEO_H, capacity_words=cap)
+    enc = BsFrameEncoder(bs_ops.BS_V2, VIDEO_W, VIDEO_H)
+    enc.encode_frames(frame_list, sizes)  # compile + warm the tunnel
 
-    def fetch(out):
-        np.asarray(out["words"])
-        np.asarray(out["scale"])
+    # Serial baseline: the same 32-frame chunks, upload -> compute ->
+    # fetch with no overlap.
+    def serial_pass():
+        for base in range(0, batch, 32):
+            out = api.bs_encode_frames_packed(
+                nv21[base:base + 32], budgets, codec=bs_ops.BS_V2,
+                width=VIDEO_W, height=VIDEO_H, capacity_words=cap)
+            np.asarray(out["words"])
+            np.asarray(out["scale"])
 
-    fetch(launch())  # compile + warm the tunnel
-
-    iters = 6
+    serial_pass()
     t0 = time.monotonic()
     for _ in range(iters):
-        fetch(launch())
+        serial_pass()
     serial = (time.monotonic() - t0) / iters
 
-    ex = ThreadPoolExecutor(1)
     t0 = time.monotonic()
-    fut = ex.submit(launch)
-    for i in range(iters - 1):
-        out = fut.result()
-        fut = ex.submit(launch)
-        fetch(out)
-    fetch(fut.result())
+    for _ in range(iters):
+        enc.encode_frames(frame_list, sizes)
     dbl = (time.monotonic() - t0) / iters
-    ex.shutdown()
+    enc.close()
     gain = 100.0 * (serial - dbl) / serial if serial > 0 else 0.0
     return batch / dbl, gain
 

@@ -129,11 +129,19 @@ class BsFrameEncoder:
         # Double-buffer: the worker thread preps/uploads/dispatches batch
         # k+1 while this thread blocks fetching batch k's payload.
         fut = self._uploader.submit(launch, 0)
-        for base in range(gran, n + gran, gran):
-            pending = fut.result()
-            if base < n:
-                fut = self._uploader.submit(launch, base)
-            collect(*pending)
+        try:
+            for base in range(gran, n + gran, gran):
+                pending = fut.result()
+                fut = self._uploader.submit(launch, base) \
+                    if base < n else None
+                collect(*pending)
+        finally:
+            # collect() raises on unfittable frames (mdec.c:723 parity);
+            # consume the in-flight batch's outcome so its exception is
+            # not silently dropped and the worker is not abandoned
+            # mid-dispatch.
+            if fut is not None:
+                fut.add_done_callback(lambda f: f.exception())
         return results
 
     def encode_frames_async(self, frames_nv21, frame_max_sizes):

@@ -233,10 +233,13 @@ sweeps; 4 measured best on v5e — per-iteration Mosaic overhead
 dominated at 1; sweep 1/2/4/8 -> 5.02/4.26/3.49/3.67 ms)."""
 
 # The kernel's dynamic window loads promise 8-aligned starts
-# (pl.multiple_of(j0 + w * _MW, 8) with j0 &~7); a stride off that
-# grid would silently misalign them.
-assert _MW % 8 == 0 and _MW > 0, "PSXAVENC_MXU_MW must be a multiple of 8"
-assert _TPI > 0, "PSXAVENC_MXU_TPI must be positive"
+# (pl.multiple_of(j0 + w * _MW, 8) with j0 &~7); a stride off that grid
+# would silently misalign them. Explicit raise (not assert): these are
+# user-controllable env values and must fail under python -O too.
+if _MW % 8 != 0 or _MW <= 0:
+    raise ValueError("PSXAVENC_MXU_MW must be a positive multiple of 8")
+if _TPI <= 0:
+    raise ValueError("PSXAVENC_MXU_TPI must be positive")
 
 
 def _mxu_place_kernel(j0_ref, nwin_ref, e0_ref, bytes_ref, out_ref, *,

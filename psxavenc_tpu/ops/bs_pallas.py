@@ -343,13 +343,15 @@ def _emit_pack_chunk(s, c, dcc, dcb, q_col, rcp_base, streams_ref,
     row32 = jax.lax.broadcasted_iota(jnp.int32, (nrows32, tp), 0)
 
     def place(acc, o_row, b_row, c_row):
+        # sbits (NOT the enclosing quant scale `s`): the symbol's left
+        # shift within its 64-bit window pair, in [11, 62] for b >= 2.
         q = o_row >> 5
-        s = 64 - (o_row & 31) - b_row          # in [11, 62] for b >= 2
-        sh = jnp.clip(s - 32, 0, 31).astype(jnp.uint32)
-        sl = jnp.clip(32 - s, 0, 31).astype(jnp.uint32)
-        hi = jnp.where(s >= 32, c_row << sh, c_row >> sl)
-        lo = jnp.where(s < 32,
-                       c_row << jnp.clip(s, 0, 31).astype(jnp.uint32),
+        sbits = 64 - (o_row & 31) - b_row
+        sh = jnp.clip(sbits - 32, 0, 31).astype(jnp.uint32)
+        sl = jnp.clip(32 - sbits, 0, 31).astype(jnp.uint32)
+        hi = jnp.where(sbits >= 32, c_row << sh, c_row >> sl)
+        lo = jnp.where(sbits < 32,
+                       c_row << jnp.clip(sbits, 0, 31).astype(jnp.uint32),
                        jnp.uint32(0))
         d_ = row32 - q
         return acc | jnp.where(d_ == 0, hi, jnp.uint32(0)) \

@@ -147,8 +147,6 @@ def build_bank(src, dst):
     assert W is not None, f"no periodicity found for {src}->{dst}"
 
     nrows = W + L
-    K = max(len(r) + (max(r) - min(r) + 1 - len(r))
-            for r in (rows[n] for n in range(nrows)))
     K = max(max(rows[n]) - min(rows[n]) + 1 for n in range(nrows))
     starts = np.zeros(nrows, np.int64)
     taps = np.zeros((nrows, K), np.int64)
