@@ -125,15 +125,24 @@ def _encode_audio_groups(reqs, quiet=False):
 
 
 def _grouped_unit_encode(units, lim, fc, sr, p1, p2, state_t):
-    """Multi-device: shard the stream axis over the mesh
-    (parallel.mesh.unit_encode_step); single-device: the plain call."""
+    """Multi-ACCELERATOR: shard the stream axis over the mesh
+    (parallel.mesh.unit_encode_step). On CPU hosts the "devices" are
+    virtual splits of the same cores, so the mesh adds only overhead
+    while the native unit encoder (adpcm_stream's no-TPU tier) is
+    strictly faster — route there instead (PSXAVENC_FORCE_MESH=1
+    overrides, for mesh-path tests). Single device: the plain call."""
+    import os
+
     import jax
 
     from .models import adpcm_stream as streams
 
     n_dev = len(jax.devices())
     B = lim.shape[0]
-    if n_dev > 1 and B >= n_dev:
+    use_mesh = n_dev > 1 and B >= n_dev and (
+        jax.devices()[0].platform != "cpu"
+        or os.environ.get("PSXAVENC_FORCE_MESH"))
+    if use_mesh:
         import jax.numpy as jnp
 
         from .parallel import mesh as pm
