@@ -2,6 +2,7 @@
 individual CLI invocations."""
 
 import numpy as np
+import pytest
 
 from psxavenc_tpu import batch, cli
 from tests.conftest import rand_frames, rand_pcm, write_avi_sized, write_wav
@@ -104,3 +105,44 @@ def test_batch_reports_failures(tmp_path, capsys):
     rc = batch.main([str(jobs)])
     assert rc == 1
     assert "FAILED" in capsys.readouterr().err
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_batch_grouping_fuzz_byte_parity(tmp_path, seed):
+    """Random job mixes (formats x rates x channels x lengths, audio and
+    video together) through the grouped runner are byte-identical to
+    serial execution — the property that makes grouping deployable."""
+    rng = np.random.default_rng(8800 + seed)
+    (tmp_path / "g").mkdir()
+    (tmp_path / "s").mkdir()
+    jobs_g, jobs_s = [], []
+    for k in range(int(rng.integers(4, 8))):
+        kind = rng.choice(["vag", "spu", "xa", "spui", "strv"])
+        name = f"j{k}"
+        if kind == "strv":
+            w, h = 16 * int(rng.integers(2, 4)), 16 * int(rng.integers(2, 4))
+            src = write_avi_sized(
+                tmp_path / f"{name}.avi", w, h,
+                rand_frames(w, h, int(rng.integers(2, 6)),
+                            seed=8900 + 10 * seed + k), 15)
+            args = ["-q", "-t", "strv", "-s", f"{w}x{h}"]
+        else:
+            rate = int(rng.choice([18900, 37800])) if kind == "xa" \
+                else int(rng.choice([18900, 22050, 37800, 44100]))
+            ch = 2 if kind == "xa" else (
+                int(rng.integers(1, 4)) if kind == "spui" else 1)
+            n = int(rng.integers(2000, 60000))
+            pcm = rand_pcm(n, channels=ch, seed=8950 + 10 * seed + k)
+            src = write_wav(tmp_path / f"{name}.wav", pcm, rate,
+                            channels=ch)
+            args = ["-q", "-t", kind, "-f", str(rate)]
+            if kind in ("xa", "spui"):
+                args += ["-c", str(ch)]
+        for d, jobs in (("g", jobs_g), ("s", jobs_s)):
+            jobs.append(args + [str(src), str(tmp_path / d / name)])
+    rcs_g = batch.run_jobs(jobs_g, group=True, quiet=True)
+    rcs_s = batch.run_jobs(jobs_s, group=False, quiet=True)
+    assert rcs_g == rcs_s
+    assert all(rc == 0 for rc in rcs_g), rcs_g
+    for jg, js in zip(jobs_g, jobs_s):
+        assert open(jg[-1], "rb").read() == open(js[-1], "rb").read(), jg
