@@ -76,82 +76,87 @@ def _kernel(units_ref, limits_ref, prev1_ref, prev2_ref,
             rs = jnp.where(ok, r, rs)
         min_shifts.append(shift_range - rs)
 
-    def attempt(k1, k2, shift, want_nibbles):
-        """28-step quantize/decode; k1/k2/shift are (B,) vectors."""
-        a1, a2 = p1, p2
-        mse_hi = jnp.zeros((B,), jnp.int32)
-        mse_lo = jnp.zeros((B,), jnp.int32)
-        nibs = []
-        for i in range(N):
-            s = raw[i]
-            pred = (k1 * a1 + k2 * a2 + 32) >> 6
-            enc = (((s - pred) << shift) + half) >> shift_range
-            enc = jnp.clip(enc, lo_lim, hi_lim) & sample_mask
-            dec = (enc << shift_range) & 0xFFFF
-            dec = dec - ((dec & 0x8000) << 1)
-            dec = jnp.clip((dec >> shift) + pred, -0x8000, 0x7FFF)
-            err = dec - s
-            ae = jnp.abs(err)
-            a_hi = ae >> 8
-            a_lo = ae & 0xFF
-            low = 2 * a_hi * a_lo * 256 + a_lo * a_lo
-            mse_hi = mse_hi + a_hi * a_hi + (low >> 16)
-            mse_lo = mse_lo + (low & 0xFFFF)
-            if want_nibbles:
-                nibs.append(enc)
-            a2 = a1
-            a1 = dec
-        mse_hi = mse_hi + (mse_lo >> 16)
-        mse_lo = mse_lo & 0xFFFF
-        return mse_hi, mse_lo, a1, a2, nibs
-
-    # --- candidate search (filter-major, shift ascending; first-best ties,
-    # adpcm.c:158-183).
-    best_hi = best_lo = best_filter = best_shift = None
+    # --- candidate search, ALL candidates per recurrence step.
+    # The 28-step quantize/decode is a dependency chain; running the
+    # 13-15 (filter, shift) candidates as sequential chains left the VPU
+    # ~5x latency-bound (and ~13x for the 2-lane CLI case). Candidates
+    # ride the SUBLANE axis instead: every step's ops process a
+    # (Cp, B) tile covering all candidates at once, and the encoded
+    # sample words accumulate in-pass per candidate, so no winner
+    # re-encode chain is needed — selection just folds the (C, B) rows
+    # in reference order (filter-major, shift ascending; first-best
+    # strict ties, adpcm.c:158-183).
+    C = filter_count * 3
+    Cp = 8 if C <= 8 else 16
+    k1_rows, k2_rows, sh_rows = [], [], []
     for f in range(filter_count):
-        k1 = jnp.full((B,), int(k1v[f]), jnp.int32)
-        k2 = jnp.full((B,), int(k2v[f]), jnp.int32)
         for d in (-1, 0, 1):
-            shift = jnp.clip(min_shifts[f] + d, 0, shift_range)
-            mse_hi, mse_lo, _, _, _ = attempt(k1, k2, shift, False)
-            if best_hi is None:
-                best_hi, best_lo = mse_hi, mse_lo
-                best_filter = jnp.zeros((B,), jnp.int32)
-                best_shift = shift
-            else:
-                better = (mse_hi < best_hi) | ((mse_hi == best_hi)
-                                               & (mse_lo < best_lo))
-                best_hi = jnp.where(better, mse_hi, best_hi)
-                best_lo = jnp.where(better, mse_lo, best_lo)
-                best_filter = jnp.where(better, f, best_filter)
-                best_shift = jnp.where(better, shift, best_shift)
+            k1_rows.append(jnp.full((B,), int(k1v[f]), jnp.int32))
+            k2_rows.append(jnp.full((B,), int(k2v[f]), jnp.int32))
+            sh_rows.append(jnp.clip(min_shifts[f] + d, 0, shift_range))
+    for _ in range(Cp - C):
+        k1_rows.append(k1_rows[0])
+        k2_rows.append(k2_rows[0])
+        sh_rows.append(sh_rows[0])
+    k1c = jnp.stack(k1_rows)                     # (Cp, B)
+    k2c = jnp.stack(k2_rows)
+    shc = jnp.stack(sh_rows)
 
-    # --- winner re-encode with per-lane coefficients.
-    k1 = jnp.zeros((B,), jnp.int32)
-    k2 = jnp.zeros((B,), jnp.int32)
-    for f in range(filter_count):
-        k1 = jnp.where(best_filter == f, int(k1v[f]), k1)
-        k2 = jnp.where(best_filter == f, int(k2v[f]), k2)
-    _, _, f1, f2, nibs = attempt(k1, k2, best_shift, True)
-
-    hdr_ref[0, 0, :] = (best_shift & 0x0F) | (best_filter << 4)
-    # Pack sample values into int32 words: 8 nibbles/word (4-bit) or
-    # 4 bytes/word (8-bit), little-end-first — the byte layout of the
-    # encoded stream.
     vbits = 4 if shift_range == 12 else 8
     per_word = 32 // vbits
     n_words = (N + per_word - 1) // per_word
+
+    a1 = jnp.broadcast_to(p1[None, :], (Cp, B)) + jnp.int32(0)
+    a2 = jnp.broadcast_to(p2[None, :], (Cp, B)) + jnp.int32(0)
+    mse_hi = jnp.zeros((Cp, B), jnp.int32)
+    mse_lo = jnp.zeros((Cp, B), jnp.int32)
+    words = [jnp.zeros((Cp, B), jnp.int32) for _ in range(n_words)]
+    for i in range(N):
+        s = raw[i][None, :]
+        pred = (k1c * a1 + k2c * a2 + 32) >> 6
+        enc = (((s - pred) << shc) + half) >> shift_range
+        enc = jnp.clip(enc, lo_lim, hi_lim) & sample_mask
+        dec = (enc << shift_range) & 0xFFFF
+        dec = dec - ((dec & 0x8000) << 1)
+        dec = jnp.clip((dec >> shc) + pred, -0x8000, 0x7FFF)
+        ae = jnp.abs(dec - s)
+        a_hi = ae >> 8
+        a_lo = ae & 0xFF
+        low = 2 * a_hi * a_lo * 256 + a_lo * a_lo
+        mse_hi = mse_hi + a_hi * a_hi + (low >> 16)
+        mse_lo = mse_lo + (low & 0xFFFF)
+        words[i // per_word] = words[i // per_word] \
+            | (enc << (vbits * (i % per_word)))
+        a2 = a1
+        a1 = dec
+    mse_hi = mse_hi + (mse_lo >> 16)
+    mse_lo = mse_lo & 0xFFFF
+
+    # --- fold rows 0..C-1 in candidate order (strictly-better updates).
+    sel_hi, sel_lo = mse_hi[0], mse_lo[0]
+    sel_shift = shc[0]
+    sel_filter = jnp.zeros((B,), jnp.int32)
+    sel_f1, sel_f2 = a1[0], a2[0]
+    sel_words = [w[0] for w in words]
+    for c in range(1, C):
+        better = (mse_hi[c] < sel_hi) | ((mse_hi[c] == sel_hi)
+                                         & (mse_lo[c] < sel_lo))
+        sel_hi = jnp.where(better, mse_hi[c], sel_hi)
+        sel_lo = jnp.where(better, mse_lo[c], sel_lo)
+        sel_shift = jnp.where(better, shc[c], sel_shift)
+        sel_filter = jnp.where(better, c // 3, sel_filter)
+        sel_f1 = jnp.where(better, a1[c], sel_f1)
+        sel_f2 = jnp.where(better, a2[c], sel_f2)
+        sel_words = [jnp.where(better, w[c], sw)
+                     for w, sw in zip(words, sel_words)]
+
+    hdr_ref[0, 0, :] = (sel_shift & 0x0F) | (sel_filter << 4)
     for k in range(n_words):
-        w = jnp.zeros((B,), jnp.int32)
-        for m in range(per_word):
-            idx = per_word * k + m
-            if idx < N:
-                w = w | (nibs[idx] << (vbits * m))
-        words_ref[0, k, :] = w
-    s1_ref[0, 0, :] = f1
-    s2_ref[0, 0, :] = f2
-    state[0, :] = f1
-    state[1, :] = f2
+        words_ref[0, k, :] = sel_words[k]
+    s1_ref[0, 0, :] = sel_f1
+    s2_ref[0, 0, :] = sel_f2
+    state[0, :] = sel_f1
+    state[1, :] = sel_f2
 
 
 @functools.partial(jax.jit, static_argnames=("filter_count", "shift_range",
