@@ -60,21 +60,31 @@ def _kernel(units_ref, limits_ref, prev1_ref, prev2_ref,
     half = 1 << (shift_range - 1)
 
     # --- min shift per filter (no quantization feedback: raw history).
+    # The residual extrema are computed per filter (cheap, wide (28, B)
+    # ops), then ALL filters' 12-step threshold searches run as one
+    # (F_pad, B) loop instead of filter_count sequential ones.
     prev1_rows = jnp.concatenate([p1[None, :], raw[:-1]], axis=0)
     prev2_rows = jnp.concatenate([p2[None, :], p1[None, :], raw[:-2]],
                                  axis=0)
-    min_shifts = []
+    smin_rows, smax_rows = [], []
     for f in range(filter_count):
         pred = (int(k1v[f]) * prev1_rows + int(k2v[f]) * prev2_rows
                 + 32) >> 6
         resid = raw - pred
-        s_min = jnp.minimum(jnp.min(resid, axis=0), 0)
-        s_max = jnp.maximum(jnp.max(resid, axis=0), 0)
-        rs = jnp.full((B,), shift_range, jnp.int32)
-        for r in range(shift_range - 1, -1, -1):
-            ok = ((s_max >> r) <= hi_lim) & ((s_min >> r) >= lo_lim)
-            rs = jnp.where(ok, r, rs)
-        min_shifts.append(shift_range - rs)
+        smin_rows.append(jnp.minimum(jnp.min(resid, axis=0), 0))
+        smax_rows.append(jnp.maximum(jnp.max(resid, axis=0), 0))
+    f_pad = 8
+    for _ in range(f_pad - filter_count):
+        smin_rows.append(smin_rows[0])
+        smax_rows.append(smax_rows[0])
+    smin_all = jnp.stack(smin_rows)              # (8, B)
+    smax_all = jnp.stack(smax_rows)
+    rs = jnp.full((f_pad, B), shift_range, jnp.int32)
+    for r in range(shift_range - 1, -1, -1):
+        ok = ((smax_all >> r) <= hi_lim) & ((smin_all >> r) >= lo_lim)
+        rs = jnp.where(ok, r, rs)
+    min_shift_all = shift_range - rs
+    min_shifts = [min_shift_all[f] for f in range(filter_count)]
 
     # --- candidate search, ALL candidates per recurrence step.
     # The 28-step quantize/decode is a dependency chain; running the
