@@ -223,8 +223,12 @@ void psxn_adpcm_encode_units(const int16_t *units, const int32_t *limits,
                     for (int i = 0; i < 28; i++) {
                         int32_t s = raw[i];
                         int32_t pred = adpcm_predict(k1, k2, a1, a2);
-                        int32_t enc = (((s - pred) << sh) + half)
-                                      >> shift_range;
+                        /* Shift through unsigned: left-shifting a
+                         * negative int32 is UB before C++20 (bit-
+                         * identical on two's-complement targets). */
+                        int32_t enc =
+                            ((int32_t)((uint32_t)(s - pred) << sh)
+                             + half) >> shift_range;
                         if (enc < min_e) enc = min_e;
                         if (enc > max_e) enc = max_e;
                         enc &= sample_mask;

@@ -3,12 +3,15 @@ baseline). Compiles /root/reference with a shim forcing FF_DCT_INT so the
 FDCT is the deterministic C islow path (matching the reference's own CI
 builds, which disable x86 SIMD)."""
 
+import os
 import pathlib
 import subprocess
 
 REPO = pathlib.Path(__file__).resolve().parent.parent.parent
 ORACLE = REPO / "build" / "psxavenc_ref"
-REFERENCE = pathlib.Path("/root/reference")
+# Overridable so CI can point at its own checkout of the upstream repo.
+REFERENCE = pathlib.Path(
+    os.environ.get("PSXAVENC_REFERENCE", "/root/reference"))
 
 
 def build_oracle():

@@ -28,12 +28,34 @@ from psxavenc_tpu.utils.oracle import ORACLE, build_oracle  # noqa: E402
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
+# CI hard-fail mode: environments that install the golden prerequisites
+# (reference checkout + FFmpeg dev libs) set PSXAVENC_REQUIRE_ORACLE=1 so
+# a regression in oracle/libav availability FAILS instead of silently
+# skipping the golden checks.
+REQUIRE_ORACLE = os.environ.get("PSXAVENC_REQUIRE_ORACLE") == "1"
+
+
+def golden_skip(reason):
+    """Skip for a missing golden prerequisite — or hard-fail under
+    PSXAVENC_REQUIRE_ORACLE=1."""
+    if REQUIRE_ORACLE:
+        pytest.fail(f"PSXAVENC_REQUIRE_ORACLE=1 but {reason}")
+    pytest.skip(reason)
+
+
+def golden_skipif(missing, reason):
+    """Module-level mark: skip when a prerequisite is missing, unless
+    hard-fail mode is on (then the tests run and fail on the missing
+    dependency instead of skipping)."""
+    return pytest.mark.skipif(missing and not REQUIRE_ORACLE,
+                              reason=reason)
+
 
 @pytest.fixture(scope="session")
 def oracle():
     """Path to the compiled reference binary, or skip if unbuildable."""
     if build_oracle() is None:
-        pytest.skip("reference oracle not available")
+        golden_skip("reference oracle not available")
     return ORACLE
 
 

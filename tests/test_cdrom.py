@@ -16,9 +16,11 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 
 @pytest.fixture(scope="session")
 def ref_cdrom():
-    ref = pathlib.Path("/root/reference/libpsxav")
+    from psxavenc_tpu.utils.oracle import REFERENCE
+    ref = REFERENCE / "libpsxav"
     if not ref.exists():
-        pytest.skip("reference not available")
+        from tests.conftest import golden_skip
+        golden_skip("reference not available")
     out = REPO / "build" / "libref_cdrom.so"
     out.parent.mkdir(exist_ok=True)
     if not out.exists():

@@ -23,7 +23,8 @@ def vectors():
                               "libavcodec", "libavutil"],
                              capture_output=True, text=True)
         if pkg.returncode != 0:
-            pytest.skip("libavcodec not available")
+            from tests.conftest import golden_skip
+            golden_skip("libavcodec not available")
         subprocess.run(["gcc", "-O2", str(src), "-o", str(exe)]
                        + pkg.stdout.split(), check=True, cwd=REPO / "build")
         subprocess.run([str(exe), "512", "42"], check=True,

@@ -12,9 +12,11 @@ from psxavenc_tpu.native import ingest_ext
 from tests.conftest import (rand_frames, rand_pcm, run_oracle, write_avi_sized,
                             write_wav)
 
-pytestmark = pytest.mark.skipif(
+from tests.conftest import golden_skipif
+
+pytestmark = golden_skipif(
     ingest_ext.load() is None,
-    reason="native FFmpeg ingest extension unavailable")
+    "native FFmpeg ingest extension unavailable")
 
 
 def _both(tmp_path, inp, enc_args, ext):

@@ -24,9 +24,11 @@ from psxavenc_tpu.utils import progress as progress_mod
 from tests.conftest import (ORACLE, rand_frames, rand_pcm, write_avi_sized,
                             write_wav)
 
-pytestmark = pytest.mark.skipif(
+from tests.conftest import golden_skipif
+
+pytestmark = golden_skipif(
     ingest_ext.load() is None,
-    reason="native FFmpeg ingest extension unavailable")
+    "native FFmpeg ingest extension unavailable")
 
 GOLDEN = pathlib.Path(__file__).parent / "golden"
 

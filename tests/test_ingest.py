@@ -226,7 +226,8 @@ def test_help_text_byte_identical(capsys):
 
     oracle = ORACLE if build_oracle() is not None else None
     if oracle is None:
-        pytest.skip("reference oracle unavailable")
+        from tests.conftest import golden_skip
+        golden_skip("reference oracle unavailable")
     for fmt in (None, "xa", "xacd", "spu", "spui", "vag", "vagi", "str",
                 "strcd", "strspu", "strv", "sbs"):
         args = ["-h"] + (["-t", fmt] if fmt else [])

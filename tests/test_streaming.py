@@ -21,9 +21,11 @@ from psxavenc_tpu.io import ingest
 from psxavenc_tpu.native import ingest_ext
 from tests.conftest import rand_frames, rand_pcm, write_avi_sized
 
-pytestmark = pytest.mark.skipif(
+from tests.conftest import golden_skipif
+
+pytestmark = golden_skipif(
     ingest_ext.load() is None,
-    reason="native FFmpeg ingest extension unavailable")
+    "native FFmpeg ingest extension unavailable")
 
 
 def _encode(monkeypatch, streaming, argv):

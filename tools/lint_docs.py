@@ -9,6 +9,8 @@ Run by CI (.github/workflows/ci.yml) and by hand. Checks:
      covers audio containers too).
   3. README's headline device-side video number is within 25% of the
      most recent BENCH_DETAILS.json, when that file exists.
+  4. Same for README's device-side audio Msamples/s claim
+     (vs audio_msps_device).
 Exit 0 = consistent, 1 = drift (each failure printed).
 """
 import json
@@ -60,6 +62,14 @@ def main():
                 check(abs(claimed - fps) / fps < 0.25,
                       f"README claims ~{claimed:.0f} fps on-chip but "
                       f"BENCH_DETAILS.json says {fps:.0f}")
+            msps = bench.get("audio_msps_device")
+            m = re.search(r"~([\d,]+) Msamples/s device-side", readme)
+            if msps and m:
+                claimed = float(m.group(1).replace(",", ""))
+                check(abs(claimed - msps) / msps < 0.25,
+                      f"README claims ~{claimed:.0f} Msamples/s "
+                      f"device-side but BENCH_DETAILS.json says "
+                      f"{msps:.0f}")
         except (json.JSONDecodeError, KeyError):
             pass
 
