@@ -93,6 +93,14 @@ def _frames_to_coefs(frames, width, height):
     return jax.vmap(one)(frames)
 
 
+def _frames_to_pixrows(frames, width, height):
+    """(B, w*h*3/2) NV21 -> (B, 64, NB) centered pixel rows, the input
+    of the fused FDCT kernels (the (B, NB, 64) coefficient tensor never
+    exists on this path)."""
+    return jax.vmap(
+        lambda f: bs_ops.rearrange_nv21_rows(f, width, height))(frames)
+
+
 @partial(jax.jit,
          static_argnames=("codec", "width", "height", "capacity_words",
                           "pallas_sweep", "packer"))
@@ -123,7 +131,6 @@ def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
         pallas_sweep = _use_pallas_sweep()
     if packer is None:
         packer = "fused_mxu" if pallas_sweep else "blocks"
-    coefs = _frames_to_coefs(frames, width, height)
 
     if packer in ("fused", "fused_pallas", "fused_gather", "fused_mxu"):
         # Fused Mosaic winner-emission + per-block packing: the
@@ -131,12 +138,25 @@ def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
         # emitting path for batches with a >256-bit block stream.
         from .ops import bs_pallas
 
-        sel = bs_ops.encode_frames_symbols(
-            coefs, budgets, codec=codec, pallas_sweep=pallas_sweep,
-            emit=False)
-        streams, block_bits = bs_pallas.emit_pack_pallas(
-            sel["c"], sel["scale_idx"] + 1, sel["dc_code"],
-            sel["dc_bits"])
+        if pallas_sweep:
+            # Fully fused FDCT path: both the select and the emit
+            # kernels FDCT the frame in VMEM from the pixel rows — the
+            # (B, 63, NB) coefficient tensor never exists in HBM
+            # (mdec.c:605-641 feeds rearrange+FDCT straight into the
+            # per-scale loop too).
+            pix = _frames_to_pixrows(frames, width, height)
+            sel = bs_ops.select_frames_pixels(pix, budgets, codec=codec)
+            streams, block_bits = bs_pallas.emit_pack_pix_pallas(
+                pix, sel["scale_idx"] + 1, sel["dc_code"],
+                sel["dc_bits"])
+        else:
+            coefs = _frames_to_coefs(frames, width, height)
+            sel = bs_ops.encode_frames_symbols(
+                coefs, budgets, codec=codec, pallas_sweep=False,
+                emit=False)
+            streams, block_bits = bs_pallas.emit_pack_pallas(
+                sel["c"], sel["scale_idx"] + 1, sel["dc_code"],
+                sel["dc_bits"])
         B = streams.shape[0]
         eof_stream = jnp.zeros((B, 1, streams.shape[2]),
                                jnp.int32).at[:, 0, 0].set(eof << 6)
@@ -166,9 +186,13 @@ def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
 
         def slow(_):
             # Emit symbols at the already-selected scale (no re-sweep)
-            # and pack through the always-exact flat path.
+            # and pack through the always-exact flat path. The pixel
+            # path re-derives the explicit coefficient tensor here —
+            # only traced, never executed unless a block overflows.
+            c = sel["c"] if "c" in sel else \
+                bs_ops.pixrows_to_coefs_zz(pix)
             codes_s, bits_s = bs_ops.emit_symbols_at(
-                sel["c"], sel["scale_idx"], sel["dc_bits"],
+                c, sel["scale_idx"], sel["dc_bits"],
                 sel["dc_code"])
             eof_codes = jnp.zeros((B, 1, codes_s.shape[2]),
                                   jnp.uint32).at[:, 0, 0].set(eof)
@@ -189,6 +213,7 @@ def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
                 "total_bits": sel["total_bits"],
                 "nz_count": sel["nz_count"]}
 
+    coefs = _frames_to_coefs(frames, width, height)
     out = bs_ops.encode_frames_symbols(coefs, budgets, codec=codec,
                                        pallas_sweep=pallas_sweep)
 

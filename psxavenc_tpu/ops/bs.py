@@ -496,12 +496,7 @@ def encode_frames_symbols(coefs, frame_max_sizes, *, codec,
 
     # --- DC (scale-independent): quant by 8*quant[0] = 16 (mdec.c:671).
     dc_q = _clamp_coeff(_div_rounded(coefs[:, :, 0], jnp.int32(16)))
-    if codec == BS_V2:
-        dc_bits = jnp.full((B, nb), 10, jnp.int32)
-        dc_code = (dc_q & 0x3FF).astype(jnp.uint32)
-    else:
-        keys, types = jax.vmap(lambda d: dc_chain(d, codec))(dc_q)
-        dc_bits, dc_code = dc_bits_code_closed_form(types, keys)
+    dc_bits, dc_code = _dc_stage(dc_q, codec)
 
     zz = jnp.asarray(ZAGZIG[1:])           # (63,) block indices, scan order
     # Layout (B, 63 positions, NB): the big MB axis sits on the TPU lane
@@ -609,6 +604,70 @@ def _select_and_emit(c, bits_ps, nz_ps, dc_bits, dc_code, dc_total,
     }
 
 
+def _dc_stage(dc_q, codec):
+    """Scale-independent DC Huffman stage shared by the coefs and pixel
+    paths: (B, NB) clamped quantized DCs -> (dc_bits, dc_code)."""
+    B, nb = dc_q.shape
+    if codec == BS_V2:
+        dc_bits = jnp.full((B, nb), 10, jnp.int32)
+        dc_code = (dc_q & 0x3FF).astype(jnp.uint32)
+    else:
+        keys, types = jax.vmap(lambda d: dc_chain(d, codec))(dc_q)
+        dc_bits, dc_code = dc_bits_code_closed_form(types, keys)
+    return dc_bits, dc_code
+
+
+@partial(jax.jit, static_argnames=("codec",))
+def select_frames_pixels(pix, frame_max_sizes, *, codec):
+    """Scale selection straight from the (B, 64, NB) pixel-row layout
+    (see :func:`rearrange_nv21_rows`) via the fused FDCT+select Mosaic
+    kernel — the (B, 63, NB) coefficient tensor never exists in HBM.
+
+    The DC coefficient of the islow FDCT is EXACTLY the block's pixel
+    sum for centered samples: pass-1 DC is (row sum) << PASS1_BITS
+    (|sum| <= 1024 so the int16 store never wraps) and pass-2 descales
+    the column sum straight back. So the scale-independent DC stage
+    (quant by 16, mdec.c:671, and the v3 delta chain) runs on cheap
+    pixel sums, XLA-fused into the same pass that lays out the pixels.
+    Identity pinned in tests/test_fdct.py.
+
+    Returns the same dict as encode_frames_symbols(..., emit=False)
+    minus the coefficient tensor.
+    """
+    from . import bs_pallas
+
+    B, P, nb = pix.shape
+    assert P == 64
+    dc = pix.astype(jnp.int32).sum(axis=1)
+    dc_q = _clamp_coeff(_div_rounded(dc, jnp.int32(16)))
+    dc_bits, dc_code = _dc_stage(dc_q, codec)
+    dc_total = dc_bits.sum(axis=1)
+
+    thr_ac = (((frame_max_sizes - 8) // 2) * 16
+              - (dc_total + 2 * nb + 10))
+    scale, ac_bits, nz_at = bs_pallas.select_scale_pix_pallas(pix, thr_ac)
+    scale_idx = jnp.where(scale <= 63, scale - 1, 0)
+    return {
+        "scale": scale,
+        "scale_idx": scale_idx,
+        "nz_count": nz_at,
+        "total_bits": ac_bits + dc_total + 2 * nb + 10,
+        "dc_bits": dc_bits,
+        "dc_code": dc_code,
+    }
+
+
+def pixrows_to_coefs_zz(pix):
+    """XLA rearrange of pixel rows to zigzag AC coefficients (B, 63, NB)
+    — the fused path's overflow fallback needs the explicit tensor; this
+    shares the row-form FDCT with the kernels (bit-identical)."""
+    from . import fdct as fdct_ops
+
+    rows = [pix[:, i, :].astype(jnp.int32) for i in range(64)]
+    out = fdct_ops.fdct_rows(rows)
+    return jnp.stack([out[int(ZAGZIG[p + 1])] for p in range(63)], axis=1)
+
+
 def encode_frame_symbols(coefs, frame_max_size, *, codec):
     """Single-frame wrapper over :func:`encode_frames_symbols`."""
     out = encode_frames_symbols(coefs[None], jnp.asarray(frame_max_size,
@@ -641,3 +700,13 @@ def rearrange_nv21_frame(frame, width, height):
     y3, y4 = yb[:, :, 1, 0], yb[:, :, 1, 1]
     blocks = jnp.stack([cr_b, cb_b, y1, y2, y3, y4], axis=2)
     return blocks.reshape(mb_x * mb_y, 6, 8, 8) - 128
+
+
+def rearrange_nv21_rows(frame, width, height):
+    """NV21 bytes -> (64, NB) int32 centered pixels in block-sample
+    layout: column n = block n in encode order, row 8r+c = sample (r, c)
+    — the input form of the fused FDCT+select/emit kernels
+    (ops/bs_pallas.py), one transpose away from
+    :func:`rearrange_nv21_frame`."""
+    blocks = rearrange_nv21_frame(frame, width, height)
+    return blocks.reshape(-1, 64).T

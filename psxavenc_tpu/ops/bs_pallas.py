@@ -29,8 +29,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import bs as bs_ops
+from . import fdct as fdct_ops
 
 TILE = 512
+
+
+def _fdct_zz_chunk(pix_ref, ci):
+    """FDCT one TILE-wide chunk of a frame's pixel rows in VMEM.
+
+    pix_ref is the (1, 64, nb_pad) block of centered pixels in
+    block-sample layout (row 8r+c = sample (r, c) of each block, blocks
+    on lanes). Returns a list of 63 (1, TILE) int32 AC rows in ZIGZAG
+    order (list index p = scan position p+1) — the same values the XLA
+    rearrange+FDCT stage used to round-trip through HBM
+    (mdec.c:605-641 runs rearrange+FDCT as one pass there too).
+    """
+    x = pix_ref[0, :, ci * TILE:(ci + 1) * TILE].astype(jnp.int32)
+    rows = [x[i:i + 1, :] for i in range(64)]
+    out = fdct_ops.fdct_rows(rows)
+    return [out[int(bs_ops.ZAGZIG[p + 1])] for p in range(63)]
+
+
+def _fdct_frame_to_scratch(pix_ref, cscr, nchunks, *, store_abs):
+    """FDCT the whole frame into the (64, nb_pad) VMEM scratch, rows in
+    zigzag order (row p = scan position p+1; row 63 is padding). Stores
+    ride 8-row groups so Mosaic writes full sublane tiles."""
+    for ci in range(nchunks):
+        zz_rows = _fdct_zz_chunk(pix_ref, ci)
+        if store_abs:
+            zz_rows = [jnp.abs(r) for r in zz_rows]
+        zz_rows.append(jnp.zeros_like(zz_rows[0]))
+        for g in range(8):
+            cscr[8 * g:8 * g + 8, ci * TILE:(ci + 1) * TILE] = \
+                jnp.concatenate(zz_rows[8 * g:8 * g + 8], axis=0)
 
 
 def _cummax_cols(x):
@@ -91,18 +122,18 @@ def ladder_lb(ca, d, half):
     return lb + nzi * bonus
 
 
-def _ladder_total(c_ref, q_col, s, nchunks):
-    """Sum of :func:`ladder_lb` over a frame at scale ``s`` (traced)."""
+def _ladder_total(load_abs, q_col, s, nchunks):
+    """Sum of :func:`ladder_lb` over a frame at scale ``s`` (traced).
+    ``load_abs(ci)`` yields the (63, TILE) |coefficients| chunk."""
     d = q_col * s
     half = d >> 1
     tot = jnp.int32(0)
     for ci in range(nchunks):
-        ca = jnp.abs(c_ref[0, :, ci * TILE:(ci + 1) * TILE])
-        tot = tot + jnp.sum(ladder_lb(ca, d, half))
+        tot = tot + jnp.sum(ladder_lb(load_abs(ci), d, half))
     return tot
 
 
-def _exact_totals(c_ref, q_col, rcp_base, s, nchunks):
+def _exact_totals(load_abs, q_col, rcp_base, s, nchunks):
     """Exact AC bit/nonzero totals at scale ``s`` (traced scalar): the
     same f32-reciprocal round-half-away division, run lengths and
     closed-form Huffman sizing as ops/bs.py. Only |mag| matters for bits
@@ -114,7 +145,7 @@ def _exact_totals(c_ref, q_col, rcp_base, s, nchunks):
     bits_tot = jnp.int32(0)
     nz_tot = jnp.int32(0)
     for ci in range(nchunks):
-        ca = jnp.abs(c_ref[0, :, ci * TILE:(ci + 1) * TILE])
+        ca = load_abs(ci)
         t = ca + half
         q0 = (t.astype(jnp.float32) * rcp).astype(jnp.int32)
         r = t - q0 * d
@@ -158,6 +189,17 @@ def _select_kernel(thr_ref, c_ref, qcol_ref, rcp_ref, out_ref, seed_ref,
     def _():
         seed_ref[0] = jnp.int32(0)
 
+    def load_abs(ci):
+        return jnp.abs(c_ref[0, :, ci * TILE:(ci + 1) * TILE])
+
+    _search_store(thr, q_col, rcp_base, load_abs, out_ref, seed_ref,
+                  nchunks)
+
+
+def _search_store(thr, q_col, rcp_base, load_abs, out_ref, seed_ref,
+                  nchunks):
+    """The seeded LB search + exact first-fit walk shared by the coefs-
+    and pixel-input select kernels (see :func:`_select_kernel`)."""
     # --- lower_bound(feasible) over scales [1, 63]; 64 = none feasible.
     # Bracket invariant: LB(lo) infeasible (0 = sentinel), LB(hi)
     # feasible (64 = sentinel).
@@ -170,7 +212,7 @@ def _select_kernel(thr_ref, c_ref, qcol_ref, rcp_ref, out_ref, seed_ref,
 
     def bs_body(st):
         lo, hi, probe, step = st
-        feas = _ladder_total(c_ref, q_col, probe, nchunks) <= thr
+        feas = _ladder_total(load_abs, q_col, probe, nchunks) <= thr
         lo = jnp.where(feas, lo, probe)
         hi = jnp.where(feas, probe, hi)
         galloping_dn = (lo == 0) & (hi < 64)
@@ -196,7 +238,7 @@ def _select_kernel(thr_ref, c_ref, qcol_ref, rcp_ref, out_ref, seed_ref,
 
     def sw_body(st):
         s, _, bits, nz = st
-        b_s, n_s = _exact_totals(c_ref, q_col, rcp_base, s, nchunks)
+        b_s, n_s = _exact_totals(load_abs, q_col, rcp_base, s, nchunks)
         fit = b_s <= thr
         return (s + 1, fit, jnp.where(fit, b_s, bits),
                 jnp.where(fit, n_s, nz))
@@ -262,6 +304,80 @@ def select_scale_pallas(coefs_zz, thr_ac, *, interpret=False):
     return out[:, 0, 0], out[:, 0, 1], out[:, 0, 2]
 
 
+def _select_pix_kernel(thr_ref, pix_ref, qcol_ref, rcp_ref, out_ref,
+                       seed_ref, cscr, *, nchunks):
+    """Pixel-input variant of :func:`_select_kernel`: FDCT the frame's
+    centered pixels into the VMEM scratch first (|coefficients| in
+    zigzag row order), then run the identical seeded search over the
+    scratch — the (B, 63, NB) coefficient tensor never touches HBM."""
+    b = pl.program_id(0)
+    thr = thr_ref[b]
+    q_col = qcol_ref[...]
+    rcp_base = rcp_ref[...]
+
+    @pl.when(b == 0)
+    def _():
+        seed_ref[0] = jnp.int32(0)
+
+    _fdct_frame_to_scratch(pix_ref, cscr, nchunks, store_abs=True)
+
+    def load_abs(ci):
+        return cscr[0:63, ci * TILE:(ci + 1) * TILE]
+
+    _search_store(thr, q_col, rcp_base, load_abs, out_ref, seed_ref,
+                  nchunks)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def select_scale_pix_pallas(pix, thr_ac, *, interpret=False):
+    """First-fit scale selection straight from pixel rows.
+
+    Args:
+      pix: (B, 64, NB) int32 (or narrower) centered pixels in
+        block-sample layout (bs.rearrange output transposed: row 8r+c =
+        sample (r, c), column = block in encode order).
+      thr_ac: (B,) int32 per-frame AC-bit fit thresholds.
+    Returns (scale, ac_bits, nz) exactly like
+    :func:`select_scale_pallas` on the FDCT of those pixels — asserted
+    equal in tests/test_bs_pallas.py.
+    """
+    B, P, NB = pix.shape
+    assert P == 64
+    nb_pad = -(-NB // TILE) * TILE
+    if nb_pad != NB:
+        # Zero pixel columns FDCT to zero -> contribute nothing.
+        pix = jnp.pad(pix, ((0, 0), (0, 0), (0, nb_pad - NB)))
+    nchunks = nb_pad // TILE
+
+    zz = bs_ops.ZAGZIG[1:]
+    qcol = jnp.asarray(bs_ops.QUANT_PSX[zz].astype(np.int32))[:, None]
+    rcp = jnp.asarray(
+        (1.0 / bs_ops.QUANT_PSX[zz].astype(np.float64)).astype(
+            np.float32))[:, None]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, 64, nb_pad), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((63, 1), lambda b, *_: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((63, 1), lambda b, *_: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, 1, 128), lambda b, *_: (b, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
+                        pltpu.VMEM((64, nb_pad), jnp.int32)],
+    )
+    (out,) = pl.pallas_call(
+        functools.partial(_select_pix_kernel, nchunks=nchunks),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, 1, 128), jnp.int32)],
+        interpret=interpret,
+    )(jnp.asarray(thr_ac, jnp.int32), pix.astype(jnp.int32), qcol, rcp)
+    return out[:, 0, 0], out[:, 0, 1], out[:, 0, 2]
+
+
 def _cumsum_excl_cols(x):
     """Exclusive prefix sum along axis 0 via Hillis-Steele log-shifts."""
     n = x.shape[0]
@@ -287,6 +403,25 @@ def _emit_pack_kernel(scale_ref, c_ref, dcc_ref, dcb_ref, qcol_ref,
     for ci in range(nchunks):
         _emit_pack_chunk(
             s, c_ref[0, :, ci * TILE:(ci + 1) * TILE],
+            dcc_ref[0, 0, ci * TILE:(ci + 1) * TILE],
+            dcb_ref[0, 0, ci * TILE:(ci + 1) * TILE],
+            q_col, rcp_base, streams_ref, bbits_ref, ci)
+
+
+def _emit_pack_pix_kernel(scale_ref, pix_ref, dcc_ref, dcb_ref, qcol_ref,
+                          rcp_ref, streams_ref, bbits_ref, cscr,
+                          *, nchunks):
+    """Pixel-input variant of :func:`_emit_pack_kernel`: FDCT the frame
+    into the VMEM scratch (signed zigzag rows), then run the identical
+    per-chunk emission over it."""
+    b = pl.program_id(0)
+    s = scale_ref[b]
+    q_col = qcol_ref[...]
+    rcp_base = rcp_ref[...]
+    _fdct_frame_to_scratch(pix_ref, cscr, nchunks, store_abs=False)
+    for ci in range(nchunks):
+        _emit_pack_chunk(
+            s, cscr[0:63, ci * TILE:(ci + 1) * TILE],
             dcc_ref[0, 0, ci * TILE:(ci + 1) * TILE],
             dcb_ref[0, 0, ci * TILE:(ci + 1) * TILE],
             q_col, rcp_base, streams_ref, bbits_ref, ci)
@@ -435,6 +570,71 @@ def emit_pack_pallas(coefs_zz, scale, dc_code, dc_bits, *,
         ],
         interpret=interpret,
     )(scale.astype(jnp.int32), coefs_zz,
+      dc_code.astype(jnp.int32)[:, None],
+      dc_bits.astype(jnp.int32)[:, None], qcol, rcp)
+    streams = jnp.transpose(streams, (0, 2, 1))[:, :NB]
+    return streams, bbits[:, 0, :NB]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def emit_pack_pix_pallas(pix, scale, dc_code, dc_bits, *,
+                         interpret=False):
+    """Fused FDCT + winner emission + per-block packing from pixel rows.
+
+    Like :func:`emit_pack_pallas` but the input is the (B, 64, NB)
+    centered-pixel layout (see :func:`select_scale_pix_pallas`): the
+    kernel FDCTs the frame into VMEM scratch and emits from there, so
+    neither the coefficients nor the code/bit tensors touch HBM.
+    Bit-identical to emit_pack_pallas on the FDCT of those pixels
+    (interpret-mode tested).
+    """
+    from . import bitpack_pallas as bpk
+
+    B, P, NB = pix.shape
+    assert P == 64
+    nb_pad = -(-NB // TILE) * TILE
+    if nb_pad != NB:
+        pix = jnp.pad(pix, ((0, 0), (0, 0), (0, nb_pad - NB)))
+        dc_code = jnp.pad(dc_code, ((0, 0), (0, nb_pad - NB)))
+        dc_bits = jnp.pad(dc_bits, ((0, 0), (0, nb_pad - NB)))
+    ntiles = nb_pad // TILE
+
+    zz = bs_ops.ZAGZIG[1:]
+    qcol = jnp.asarray(bs_ops.QUANT_PSX[zz].astype(np.int32))[:, None]
+    rcp = jnp.asarray(
+        (1.0 / bs_ops.QUANT_PSX[zz].astype(np.float64)).astype(
+            np.float32))[:, None]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, 64, nb_pad), lambda b, s: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, nb_pad), lambda b, s: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, nb_pad), lambda b, s: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((63, 1), lambda b, s: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((63, 1), lambda b, s: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((1, bpk.BCAP, nb_pad), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nb_pad), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((64, nb_pad), jnp.int32)],
+    )
+    streams, bbits = pl.pallas_call(
+        functools.partial(_emit_pack_pix_kernel, nchunks=ntiles),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, bpk.BCAP, nb_pad), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, nb_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(scale.astype(jnp.int32), pix.astype(jnp.int32),
       dc_code.astype(jnp.int32)[:, None],
       dc_bits.astype(jnp.int32)[:, None], qcol, rcp)
     streams = jnp.transpose(streams, (0, 2, 1))[:, :NB]

@@ -48,7 +48,19 @@ def _pass(d, shift_even_up, descale_bits):
     by CONST_BITS-PASS1_BITS; pass 2 descales evens by PASS1_BITS and odds
     by CONST_BITS+PASS1_BITS.
     """
-    d0, d1, d2, d3, d4, d5, d6, d7 = (d[..., i] for i in range(8))
+    outs = _pass_rows([d[..., i] for i in range(8)], shift_even_up,
+                      descale_bits)
+    return jnp.stack(outs, axis=-1)
+
+
+def _pass_rows(rows, shift_even_up, descale_bits):
+    """The same 1-D pass on a list of 8 same-shaped int32 arrays.
+
+    This unstacked form is the building block for layouts that keep the
+    8 butterfly inputs as separate array rows (the Pallas kernels and the
+    row-major XLA path) — no (..., 8) minor axis, so no relayout traffic.
+    """
+    d0, d1, d2, d3, d4, d5, d6, d7 = rows
 
     tmp0, tmp7 = d0 + d7, d0 - d7
     tmp1, tmp6 = d1 + d6, d1 - d6
@@ -89,8 +101,41 @@ def _pass(d, shift_even_up, descale_bits):
     out3 = _descale(t6 + z2 + z3, descale_bits)
     out1 = _descale(t7 + z1 + z4, descale_bits)
 
-    return jnp.stack([out0, out1, out2, out3, out4, out5, out6, out7],
-                     axis=-1)
+    return [out0, out1, out2, out3, out4, out5, out6, out7]
+
+
+def _wrap16(x):
+    """int16 reinterpretation (the reference's pass-1 int16 store)."""
+    return ((x & 0xFFFF) ^ 0x8000) - 0x8000
+
+
+def fdct_rows(rows):
+    """islow FDCT on 64 separate sample rows.
+
+    Args:
+      rows: list of 64 same-shaped int32 arrays; rows[8*r + c] holds
+        sample (r, c) of every block (row-major within the 8x8 block,
+        blocks vectorized across the array shape).
+    Returns:
+      list of 64 arrays; out[8*u + v] is coefficient (u, v).
+
+    Bit-identical to :func:`fdct_islow` (same ops, rows addressed
+    statically instead of via stacked minor axes) — this is the form the
+    Pallas kernels inline, keeping a whole frame's FDCT in VMEM.
+    """
+    p1 = [None] * 64
+    for r in range(8):
+        outs = _pass_rows([rows[8 * r + i] for i in range(8)], True,
+                          CONST_BITS - PASS1_BITS)
+        for i in range(8):
+            p1[8 * r + i] = _wrap16(outs[i])
+    out = [None] * 64
+    for i in range(8):
+        outs = _pass_rows([p1[8 * r + i] for r in range(8)], False,
+                          CONST_BITS + PASS1_BITS)
+        for u in range(8):
+            out[8 * u + i] = outs[u]
+    return out
 
 
 def fdct_islow(blocks):
@@ -107,7 +152,7 @@ def fdct_islow(blocks):
     # stores into an int16 array; replicate the wrap so out-of-range inputs
     # degrade identically (valid centered pixels never wrap).
     x = _pass(blocks, True, CONST_BITS - PASS1_BITS)
-    x = ((x & 0xFFFF) ^ 0x8000) - 0x8000
+    x = _wrap16(x)
     x = jnp.swapaxes(x, -1, -2)
     x = _pass(x, False, CONST_BITS + PASS1_BITS)
     return jnp.swapaxes(x, -1, -2)

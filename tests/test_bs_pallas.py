@@ -10,6 +10,7 @@ import jax.numpy as jnp
 
 from psxavenc_tpu.ops import bs as bs_ops
 from psxavenc_tpu.ops import bs_pallas as bsp
+from psxavenc_tpu.ops import fdct as fdct_ops
 
 
 def _xla_all_scales(c):
@@ -196,6 +197,10 @@ def test_emit_pack_pallas_interpret(monkeypatch):
         bsp.select_scale_pallas, interpret=True))
     monkeypatch.setattr(bsp, "emit_pack_pallas", functools.partial(
         bsp.emit_pack_pallas, interpret=True))
+    monkeypatch.setattr(bsp, "select_scale_pix_pallas", functools.partial(
+        bsp.select_scale_pix_pallas, interpret=True))
+    monkeypatch.setattr(bsp, "emit_pack_pix_pallas", functools.partial(
+        bsp.emit_pack_pix_pallas, interpret=True))
 
     rng = np.random.default_rng(11)
     B = 2
@@ -279,3 +284,76 @@ def test_emit_pack_pallas_multichunk_interpret():
         assert np.array_equal(ref_s.astype(np.uint32) & 0xFFFF,
                               np.asarray(streams)[b].astype(np.uint32)
                               & 0xFFFF), b
+
+
+def _rand_pix(rng, B, NB):
+    """Random centered pixels in the valid [-128, 127] range."""
+    return rng.integers(-128, 128, (B, 64, NB)).astype(np.int32)
+
+
+def test_select_scale_pix_pallas_interpret():
+    """The fused FDCT+select kernel == the coefs-input select kernel on
+    the (bit-identical) FDCT of the same pixels, including a ragged tail
+    chunk and unfittable/loose thresholds."""
+    rng = np.random.default_rng(21)
+    B, NB = 3, bsp.TILE + 73
+    pix = _rand_pix(rng, B, NB)
+    c = bs_ops.pixrows_to_coefs_zz(jnp.asarray(pix))
+    bits_ps, _ = _xla_all_scales(c)
+    thr = np.array([bits_ps[0].min(),
+                    int(bits_ps[1].min() * 0.4 + bits_ps[1].max() * 0.6),
+                    -1], np.int32)
+    want = bsp.select_scale_pallas(c, jnp.asarray(thr), interpret=True)
+    got = bsp.select_scale_pix_pallas(jnp.asarray(pix), jnp.asarray(thr),
+                                      interpret=True)
+    for name, g, w in zip(("scale", "bits", "nz"), got, want):
+        assert np.array_equal(np.asarray(g), np.asarray(w)), name
+
+
+def test_emit_pack_pix_pallas_interpret():
+    """The fused FDCT+emit+pack kernel == emit_pack_pallas on the FDCT
+    of the same pixels (multi-chunk, ragged tail)."""
+    rng = np.random.default_rng(22)
+    B, NB = 2, bsp.TILE + 137
+    pix = _rand_pix(rng, B, NB)
+    c = bs_ops.pixrows_to_coefs_zz(jnp.asarray(pix))
+    scale = jnp.asarray(np.array([2, 29], np.int32))
+    dc_bits = rng.integers(2, 11, (B, NB)).astype(np.int32)
+    dc_code = (rng.integers(0, 1 << 10, (B, NB)).astype(np.int32)
+               & ((1 << dc_bits) - 1))
+    want = bsp.emit_pack_pallas(c, scale, jnp.asarray(dc_code),
+                                jnp.asarray(dc_bits), interpret=True)
+    got = bsp.emit_pack_pix_pallas(jnp.asarray(pix), scale,
+                                   jnp.asarray(dc_code),
+                                   jnp.asarray(dc_bits), interpret=True)
+    assert np.array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    assert np.array_equal(np.asarray(got[1]), np.asarray(want[1]))
+
+
+def test_select_frames_pixels_matches_symbols(monkeypatch):
+    """select_frames_pixels (pixel-sum DC stage + fused kernel) returns
+    the same selection metadata as encode_frames_symbols(emit=False) on
+    the explicit coefficients, for all three codecs."""
+    monkeypatch.setattr(bsp, "select_scale_pallas", functools.partial(
+        bsp.select_scale_pallas, interpret=True))
+    monkeypatch.setattr(bsp, "select_scale_pix_pallas", functools.partial(
+        bsp.select_scale_pix_pallas, interpret=True))
+    rng = np.random.default_rng(23)
+    B, W, H = 2, 48, 32
+    nb = (W // 16) * (H // 16) * 6
+    frames = rng.integers(0, 256, (B, W * H * 3 // 2)).astype(np.uint8)
+    budgets = jnp.asarray(np.array([2000, 800], np.int32))
+    pix = jnp.stack([bs_ops.rearrange_nv21_rows(jnp.asarray(f), W, H)
+                     for f in frames])
+    coefs = jnp.stack([
+        fdct_ops.fdct_islow(
+            bs_ops.rearrange_nv21_frame(jnp.asarray(f), W, H)
+        ).reshape(nb, 64) for f in frames])
+    for codec in (bs_ops.BS_V2, bs_ops.BS_V3, bs_ops.BS_V3DC):
+        want = bs_ops.encode_frames_symbols(
+            coefs, budgets, codec=codec, pallas_sweep=True, emit=False)
+        got = bs_ops.select_frames_pixels(pix, budgets, codec=codec)
+        for k in ("scale", "scale_idx", "nz_count", "total_bits",
+                  "dc_bits", "dc_code"):
+            assert np.array_equal(np.asarray(got[k]),
+                                  np.asarray(want[k])), (codec, k)

@@ -46,3 +46,19 @@ def test_fdct_dc_scale():
     b = rng.integers(-128, 128, (16, 8, 8)).astype(np.int32)
     out = np.asarray(fdct.fdct_islow(b))
     assert np.array_equal(out[:, 0, 0], b.sum(axis=(1, 2)))
+
+
+def test_fdct_rows_matches_islow():
+    """The unstacked row form (the one the fused Pallas kernels inline)
+    is bit-identical to fdct_islow, including int16 pass-1 wrap on
+    out-of-range inputs."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    b = rng.integers(-2000, 2000, (32, 8, 8)).astype(np.int32)
+    want = np.asarray(fdct.fdct_islow(b))
+    rows = [jnp.asarray(b[:, i // 8, i % 8]) for i in range(64)]
+    out = fdct.fdct_rows(rows)
+    got = np.stack([np.asarray(out[8 * u + v]) for u in range(8)
+                    for v in range(8)], axis=1).reshape(-1, 8, 8)
+    assert np.array_equal(got, want)

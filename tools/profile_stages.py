@@ -118,9 +118,34 @@ def main():
             capacity_words=cap, pallas_sweep=True, packer="fused_mxu")
         return (out["words"].astype(jnp.int32).sum() + out["scale"].sum())
 
+    @jax.jit
+    def pixrows_only(frames):
+        return api._frames_to_pixrows(frames, W, H).sum()
+
+    @jax.jit
+    def select_pix_only(frames, budgets):
+        pix = api._frames_to_pixrows(frames, W, H)
+        sel = bs_ops.select_frames_pixels(pix, budgets,
+                                          codec=bs_ops.BS_V2)
+        return sel["scale"].sum() + sel["total_bits"].sum()
+
+    @jax.jit
+    def thru_emit_pix(frames, budgets):
+        pix = api._frames_to_pixrows(frames, W, H)
+        sel = bs_ops.select_frames_pixels(pix, budgets,
+                                          codec=bs_ops.BS_V2)
+        streams, bbits = bs_pallas.emit_pack_pix_pallas(
+            pix, sel["scale_idx"] + 1, sel["dc_code"], sel["dc_bits"])
+        return streams.astype(jnp.int32).sum() + bbits.sum()
+
     timed("coefs", lambda: coefs_only(frames), iters)
     timed("+select (pallas)", lambda: select_only(frames, budgets), iters)
     timed("+emit_pack", lambda: thru_emit(frames, budgets), iters)
+    timed("pixrows", lambda: pixrows_only(frames), iters)
+    timed("+select_pix (fused FDCT)",
+          lambda: select_pix_only(frames, budgets), iters)
+    timed("+emit_pack_pix (fused FDCT)",
+          lambda: thru_emit_pix(frames, budgets), iters)
     timed("+u32 prep (XLA)", lambda: thru_u32(frames, budgets), iters)
     timed("FULL fused_gather", lambda: full(frames, budgets), iters)
     dt = timed("FULL fused_mxu", lambda: full_mxu(frames, budgets),
