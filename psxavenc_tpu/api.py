@@ -139,15 +139,17 @@ def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
         from .ops import bs_pallas
 
         if pallas_sweep:
-            # Fully fused FDCT path: both the select and the emit
-            # kernels FDCT the frame in VMEM from the pixel rows — the
-            # (B, 63, NB) coefficient tensor never exists in HBM
+            # Fused FDCT path: the select kernel FDCTs each frame in
+            # VMEM from the pixel rows (the search hides the transform)
+            # and writes the coefficients as its second output, which
+            # the emit kernel consumes directly — the FDCT runs exactly
+            # once and the separate XLA rearrange+FDCT stage disappears
             # (mdec.c:605-641 feeds rearrange+FDCT straight into the
             # per-scale loop too).
             pix = _frames_to_pixrows(frames, width, height)
             sel = bs_ops.select_frames_pixels(pix, budgets, codec=codec)
-            streams, block_bits = bs_pallas.emit_pack_pix_pallas(
-                pix, sel["scale_idx"] + 1, sel["dc_code"],
+            streams, block_bits = bs_pallas.emit_pack_pallas(
+                sel["c64"], sel["scale_idx"] + 1, sel["dc_code"],
                 sel["dc_bits"])
         else:
             coefs = _frames_to_coefs(frames, width, height)
@@ -187,10 +189,12 @@ def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
         def slow(_):
             # Emit symbols at the already-selected scale (no re-sweep)
             # and pack through the always-exact flat path. The pixel
-            # path re-derives the explicit coefficient tensor here —
-            # only traced, never executed unless a block overflows.
+            # path slices its select kernel's coefficient output back
+            # to (B, 63, NB) here — only executed when a block
+            # overflows.
+            nb_true = sel["dc_code"].shape[1]
             c = sel["c"] if "c" in sel else \
-                bs_ops.pixrows_to_coefs_zz(pix)
+                sel["c64"][:, :63, :nb_true]
             codes_s, bits_s = bs_ops.emit_symbols_at(
                 c, sel["scale_idx"], sel["dc_bits"],
                 sel["dc_code"])

@@ -84,9 +84,12 @@ def encode_file_spu(args, dec, output, unit_encoder=None):
         chunk_lengths.append((ln, dec.end_of_input))
         dec.retire_av_data(ln, 0)
 
-    # Batch-runner capture/replay expects one unit encode per file.
-    group = len(chunk_lengths) if unit_encoder \
-        is not streams.encode_unit_streams else SPU_CHUNK_BLOCKS
+    # Batch-runner capture/replay expects one unit encode per file;
+    # chunk-batching encoders (batch.py streaming tier) keep the bounded
+    # chunk feed so concurrent jobs' chunks share device calls.
+    whole_file = (unit_encoder is not streams.encode_unit_streams
+                  and not getattr(unit_encoder, "chunked", False))
+    group = len(chunk_lengths) if whole_file else SPU_CHUNK_BLOCKS
     progress = Progress(args)
     prev1 = prev2 = None
     base = 0
@@ -166,8 +169,9 @@ def encode_file_spui(args, dec, output, unit_encoder=None):
         first = False
 
     units_per_chunk = max(1, samples_per_chunk // SAMPLES_PER_BLOCK)
-    group = len(chunks) if unit_encoder \
-        is not streams.encode_unit_streams else \
+    whole_file = (unit_encoder is not streams.encode_unit_streams
+                  and not getattr(unit_encoder, "chunked", False))
+    group = len(chunks) if whole_file else \
         max(1, SPU_CHUNK_BLOCKS // units_per_chunk)
     progress = Progress(args)
     prev1 = prev2 = None

@@ -220,8 +220,10 @@ def encode_file_xa(args, dec, output, unit_encoder=None):
 
     # Batch-runner capture/replay expects one unit encode per file; the
     # solo chunking bounds memory (streaming tier) at a few more device
-    # calls.
+    # calls. Chunk-batching encoders (batch.py streaming tier) keep the
+    # bounded feed so concurrent jobs' chunks share device calls.
     chunk = len(lengths) if unit_encoder is not None \
+        and not getattr(unit_encoder, "chunked", False) \
         else AUDIO_CHUNK_SECTORS_SOLO
     feed = AudioSectorFeed(args, source, lengths, chunk_sectors=chunk,
                            unit_encoder=unit_encoder)

@@ -50,18 +50,21 @@ def _fdct_zz_chunk(pix_ref, ci):
     return [out[int(bs_ops.ZAGZIG[p + 1])] for p in range(63)]
 
 
-def _fdct_frame_to_scratch(pix_ref, cscr, nchunks, *, store_abs):
-    """FDCT the whole frame into the (64, nb_pad) VMEM scratch, rows in
-    zigzag order (row p = scan position p+1; row 63 is padding). Stores
-    ride 8-row groups so Mosaic writes full sublane tiles."""
+def _fdct_frame_to_scratch(dst, pix_ref, nchunks, abs_dst=None):
+    """FDCT the whole frame into the (64, nb_pad) VMEM ref ``dst``,
+    signed zigzag rows (row p = scan position p+1; row 63 is zero).
+    Stores ride 8-row groups so Mosaic writes full sublane tiles.
+    With ``abs_dst``, also store |rows| there (one extra store per
+    group — far cheaper than re-taking abs on every search read)."""
     for ci in range(nchunks):
         zz_rows = _fdct_zz_chunk(pix_ref, ci)
-        if store_abs:
-            zz_rows = [jnp.abs(r) for r in zz_rows]
         zz_rows.append(jnp.zeros_like(zz_rows[0]))
         for g in range(8):
-            cscr[8 * g:8 * g + 8, ci * TILE:(ci + 1) * TILE] = \
-                jnp.concatenate(zz_rows[8 * g:8 * g + 8], axis=0)
+            grp = jnp.concatenate(zz_rows[8 * g:8 * g + 8], axis=0)
+            dst[8 * g:8 * g + 8, ci * TILE:(ci + 1) * TILE] = grp
+            if abs_dst is not None:
+                abs_dst[8 * g:8 * g + 8, ci * TILE:(ci + 1) * TILE] = \
+                    jnp.abs(grp)
 
 
 def _cummax_cols(x):
@@ -305,11 +308,16 @@ def select_scale_pallas(coefs_zz, thr_ac, *, interpret=False):
 
 
 def _select_pix_kernel(thr_ref, pix_ref, qcol_ref, rcp_ref, out_ref,
-                       seed_ref, cscr, *, nchunks):
+                       coefs_ref, seed_ref, abs_scr, *, nchunks):
     """Pixel-input variant of :func:`_select_kernel`: FDCT the frame's
-    centered pixels into the VMEM scratch first (|coefficients| in
-    zigzag row order), then run the identical seeded search over the
-    scratch — the (B, 63, NB) coefficient tensor never touches HBM."""
+    centered pixels into the ``coefs_ref`` output block (signed zigzag
+    rows; row 63 zero), then run the identical seeded search reading it
+    back — the FDCT runs ONCE per frame here and the emit kernel reuses
+    the written coefficients, so the XLA rearrange+FDCT stage never
+    runs and its HBM round trip shrinks to this kernel's output DMA.
+    The search work hides the FDCT almost entirely (the kernel is
+    serialization-bound on its scalar fit decisions, measured +0.01 ms
+    over the coefs-input kernel on v5e)."""
     b = pl.program_id(0)
     thr = thr_ref[b]
     q_col = qcol_ref[...]
@@ -319,10 +327,11 @@ def _select_pix_kernel(thr_ref, pix_ref, qcol_ref, rcp_ref, out_ref,
     def _():
         seed_ref[0] = jnp.int32(0)
 
-    _fdct_frame_to_scratch(pix_ref, cscr, nchunks, store_abs=True)
+    _fdct_frame_to_scratch(coefs_ref.at[0], pix_ref, nchunks,
+                           abs_dst=abs_scr)
 
     def load_abs(ci):
-        return cscr[0:63, ci * TILE:(ci + 1) * TILE]
+        return abs_scr[0:63, ci * TILE:(ci + 1) * TILE]
 
     _search_store(thr, q_col, rcp_base, load_abs, out_ref, seed_ref,
                   nchunks)
@@ -337,9 +346,12 @@ def select_scale_pix_pallas(pix, thr_ac, *, interpret=False):
         block-sample layout (bs.rearrange output transposed: row 8r+c =
         sample (r, c), column = block in encode order).
       thr_ac: (B,) int32 per-frame AC-bit fit thresholds.
-    Returns (scale, ac_bits, nz) exactly like
-    :func:`select_scale_pallas` on the FDCT of those pixels — asserted
-    equal in tests/test_bs_pallas.py.
+    Returns (scale, ac_bits, nz, coefs): selection exactly like
+    :func:`select_scale_pallas` on the FDCT of those pixels (asserted
+    equal in tests/test_bs_pallas.py), plus the FDCT itself —
+    (B, 64, nb_pad) int32 signed zigzag rows (row p = scan position
+    p+1, row 63 zero, lane-padded to the TILE multiple) ready to feed
+    :func:`emit_pack_pallas` without re-running any FDCT.
     """
     B, P, NB = pix.shape
     assert P == 64
@@ -365,17 +377,20 @@ def select_scale_pix_pallas(pix, thr_ac, *, interpret=False):
                   pl.BlockSpec((63, 1), lambda b, *_: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec((1, 1, 128), lambda b, *_: (b, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 64, nb_pad), lambda b, *_: (b, 0, 0),
                                 memory_space=pltpu.VMEM)],
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
                         pltpu.VMEM((64, nb_pad), jnp.int32)],
     )
-    (out,) = pl.pallas_call(
+    out, coefs = pl.pallas_call(
         functools.partial(_select_pix_kernel, nchunks=nchunks),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((B, 1, 128), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((B, 1, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((B, 64, nb_pad), jnp.int32)],
         interpret=interpret,
     )(jnp.asarray(thr_ac, jnp.int32), pix.astype(jnp.int32), qcol, rcp)
-    return out[:, 0, 0], out[:, 0, 1], out[:, 0, 2]
+    return out[:, 0, 0], out[:, 0, 1], out[:, 0, 2], coefs
 
 
 def _cumsum_excl_cols(x):
@@ -395,33 +410,16 @@ def _emit_pack_kernel(scale_ref, c_ref, dcc_ref, dcb_ref, qcol_ref,
                       rcp_ref, streams_ref, bbits_ref, *, nchunks):
     """One grid step per FRAME (TPU grids are sequential; fat steps
     amortize per-step Mosaic dispatch — the former (B, ntiles) grid paid
-    it 4x per frame), statically unrolled over the TILE-wide chunks."""
+    it 4x per frame), statically unrolled over the TILE-wide chunks.
+    ``c_ref`` blocks are (1, 63, nb_pad) or (1, 64, nb_pad) — row 63,
+    when present, is the select kernel's zero pad row and is ignored."""
     b = pl.program_id(0)
     s = scale_ref[b]
     q_col = qcol_ref[...]
     rcp_base = rcp_ref[...]
     for ci in range(nchunks):
         _emit_pack_chunk(
-            s, c_ref[0, :, ci * TILE:(ci + 1) * TILE],
-            dcc_ref[0, 0, ci * TILE:(ci + 1) * TILE],
-            dcb_ref[0, 0, ci * TILE:(ci + 1) * TILE],
-            q_col, rcp_base, streams_ref, bbits_ref, ci)
-
-
-def _emit_pack_pix_kernel(scale_ref, pix_ref, dcc_ref, dcb_ref, qcol_ref,
-                          rcp_ref, streams_ref, bbits_ref, cscr,
-                          *, nchunks):
-    """Pixel-input variant of :func:`_emit_pack_kernel`: FDCT the frame
-    into the VMEM scratch (signed zigzag rows), then run the identical
-    per-chunk emission over it."""
-    b = pl.program_id(0)
-    s = scale_ref[b]
-    q_col = qcol_ref[...]
-    rcp_base = rcp_ref[...]
-    _fdct_frame_to_scratch(pix_ref, cscr, nchunks, store_abs=False)
-    for ci in range(nchunks):
-        _emit_pack_chunk(
-            s, cscr[0:63, ci * TILE:(ci + 1) * TILE],
+            s, c_ref[0, 0:63, ci * TILE:(ci + 1) * TILE],
             dcc_ref[0, 0, ci * TILE:(ci + 1) * TILE],
             dcb_ref[0, 0, ci * TILE:(ci + 1) * TILE],
             q_col, rcp_base, streams_ref, bbits_ref, ci)
@@ -453,10 +451,11 @@ def _emit_pack_chunk(s, c, dcc, dcb, q_col, rcp_base, streams_ref,
     prev = _cummax_cols(nzpos)
     prev_excl = jnp.where(pos > 1, pltpu.roll(prev, 1, 0), 0)
     run = pos - prev_excl - 1
-    bits_nz = bs_ops.ac_bits_closed_form(run, magc)
+    # Fused (bits, code): one magnitude-class chain for both instead of
+    # the separate ac_bits/ac_code chains (~30% fewer ops here).
+    bits_nz, code_nz = bs_ops.ac_bits_code_closed_form(run, ac)
     bits = jnp.where(nz, bits_nz, 0)
-    code = jnp.where(nz, bs_ops.ac_code_closed_form(run, ac, bits_nz),
-                     jnp.uint32(0))
+    code = jnp.where(nz, code_nz, jnp.uint32(0))
 
     # --- in-block offsets: DC first, ACs in scan order, EOB last.
     offs = dc_bits + _cumsum_excl_cols(bits)       # (63, TILE)
@@ -515,7 +514,11 @@ def emit_pack_pallas(coefs_zz, scale, dc_code, dc_bits, *,
     the (B, NB, 65) code/bit tensors never touch HBM.
 
     Args:
-      coefs_zz: (B, 63, NB) int32 zigzag AC coefficients.
+      coefs_zz: (B, 63, NB) int32 zigzag AC coefficients — or the
+        (B, 64, nb_pad) output of :func:`select_scale_pix_pallas`
+        (row 63 and pad lanes are zero); pass the TRUE block count via
+        ``dc_code``/``dc_bits`` width, which may be narrower than the
+        coefficient lanes.
       scale: (B,) int32 winning quant scale (1..63).
       dc_code: (B, NB) uint32/int32 DC Huffman codes.
       dc_bits: (B, NB) int32 DC code lengths.
@@ -526,11 +529,14 @@ def emit_pack_pallas(coefs_zz, scale, dc_code, dc_bits, *,
     """
     from . import bitpack_pallas as bpk
 
-    B, P, NB = coefs_zz.shape
-    assert P == 63
-    nb_pad = -(-NB // TILE) * TILE
+    B, P, NBC = coefs_zz.shape
+    assert P in (63, 64)
+    NB = dc_code.shape[1]
+    assert NB <= NBC
+    nb_pad = -(-NBC // TILE) * TILE
+    if nb_pad != NBC:
+        coefs_zz = jnp.pad(coefs_zz, ((0, 0), (0, 0), (0, nb_pad - NBC)))
     if nb_pad != NB:
-        coefs_zz = jnp.pad(coefs_zz, ((0, 0), (0, 0), (0, nb_pad - NB)))
         dc_code = jnp.pad(dc_code, ((0, 0), (0, nb_pad - NB)))
         dc_bits = jnp.pad(dc_bits, ((0, 0), (0, nb_pad - NB)))
     ntiles = nb_pad // TILE
@@ -544,7 +550,7 @@ def emit_pack_pallas(coefs_zz, scale, dc_code, dc_bits, *,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
-        in_specs=[pl.BlockSpec((1, 63, nb_pad), lambda b, s: (b, 0, 0),
+        in_specs=[pl.BlockSpec((1, P, nb_pad), lambda b, s: (b, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, 1, nb_pad), lambda b, s: (b, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -574,70 +580,3 @@ def emit_pack_pallas(coefs_zz, scale, dc_code, dc_bits, *,
       dc_bits.astype(jnp.int32)[:, None], qcol, rcp)
     streams = jnp.transpose(streams, (0, 2, 1))[:, :NB]
     return streams, bbits[:, 0, :NB]
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def emit_pack_pix_pallas(pix, scale, dc_code, dc_bits, *,
-                         interpret=False):
-    """Fused FDCT + winner emission + per-block packing from pixel rows.
-
-    Like :func:`emit_pack_pallas` but the input is the (B, 64, NB)
-    centered-pixel layout (see :func:`select_scale_pix_pallas`): the
-    kernel FDCTs the frame into VMEM scratch and emits from there, so
-    neither the coefficients nor the code/bit tensors touch HBM.
-    Bit-identical to emit_pack_pallas on the FDCT of those pixels
-    (interpret-mode tested).
-    """
-    from . import bitpack_pallas as bpk
-
-    B, P, NB = pix.shape
-    assert P == 64
-    nb_pad = -(-NB // TILE) * TILE
-    if nb_pad != NB:
-        pix = jnp.pad(pix, ((0, 0), (0, 0), (0, nb_pad - NB)))
-        dc_code = jnp.pad(dc_code, ((0, 0), (0, nb_pad - NB)))
-        dc_bits = jnp.pad(dc_bits, ((0, 0), (0, nb_pad - NB)))
-    ntiles = nb_pad // TILE
-
-    zz = bs_ops.ZAGZIG[1:]
-    qcol = jnp.asarray(bs_ops.QUANT_PSX[zz].astype(np.int32))[:, None]
-    rcp = jnp.asarray(
-        (1.0 / bs_ops.QUANT_PSX[zz].astype(np.float64)).astype(
-            np.float32))[:, None]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, 64, nb_pad), lambda b, s: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 1, nb_pad), lambda b, s: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 1, nb_pad), lambda b, s: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((63, 1), lambda b, s: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((63, 1), lambda b, s: (0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=[
-            pl.BlockSpec((1, bpk.BCAP, nb_pad), lambda b, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nb_pad), lambda b, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[pltpu.VMEM((64, nb_pad), jnp.int32)],
-    )
-    streams, bbits = pl.pallas_call(
-        functools.partial(_emit_pack_pix_kernel, nchunks=ntiles),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, bpk.BCAP, nb_pad), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, nb_pad), jnp.int32),
-        ],
-        interpret=interpret,
-    )(scale.astype(jnp.int32), pix.astype(jnp.int32),
-      dc_code.astype(jnp.int32)[:, None],
-      dc_bits.astype(jnp.int32)[:, None], qcol, rcp)
-    streams = jnp.transpose(streams, (0, 2, 1))[:, :NB]
-    return streams, bbits[:, 0, :NB]
-
-

@@ -39,6 +39,23 @@ def test_ac_code_closed_form_exhaustive():
             (sign, np.argwhere(got != want)[:5])
 
 
+def test_ac_bits_code_closed_form_exhaustive():
+    """The fused (bits, code) emitter chain matches BOTH LUTs for every
+    possible (run, level) key, both signs, including escapes."""
+    runs = np.arange(0, 63)
+    mags = np.arange(1, 513)
+    r, a = np.meshgrid(runs, mags, indexing="ij")
+    for sign in (1, -1):
+        ac = sign * a
+        got_b, got_c = bs.ac_bits_code_closed_form(jnp.asarray(r),
+                                                   jnp.asarray(ac))
+        key = (r << 10) | (ac & 0x3FF)
+        assert np.array_equal(np.asarray(got_b), bs.AC_BITS_LUT[key]), \
+            (sign, np.argwhere(np.asarray(got_b) != bs.AC_BITS_LUT[key])[:5])
+        assert np.array_equal(np.asarray(got_c), bs.AC_CODE_LUT[key]), \
+            (sign, np.argwhere(np.asarray(got_c) != bs.AC_CODE_LUT[key])[:5])
+
+
 def test_div_rounded_half_away():
     n = jnp.asarray(np.arange(-10000, 10000, 7))
     for d in (2, 3, 16, 83 * 63):

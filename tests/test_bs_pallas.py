@@ -199,8 +199,6 @@ def test_emit_pack_pallas_interpret(monkeypatch):
         bsp.emit_pack_pallas, interpret=True))
     monkeypatch.setattr(bsp, "select_scale_pix_pallas", functools.partial(
         bsp.select_scale_pix_pallas, interpret=True))
-    monkeypatch.setattr(bsp, "emit_pack_pix_pallas", functools.partial(
-        bsp.emit_pack_pix_pallas, interpret=True))
 
     rng = np.random.default_rng(11)
     B = 2
@@ -294,7 +292,8 @@ def _rand_pix(rng, B, NB):
 def test_select_scale_pix_pallas_interpret():
     """The fused FDCT+select kernel == the coefs-input select kernel on
     the (bit-identical) FDCT of the same pixels, including a ragged tail
-    chunk and unfittable/loose thresholds."""
+    chunk and unfittable/loose thresholds; its coefficient output (the
+    emit kernel's input) matches the explicit XLA row-form FDCT."""
     rng = np.random.default_rng(21)
     B, NB = 3, bsp.TILE + 73
     pix = _rand_pix(rng, B, NB)
@@ -304,28 +303,36 @@ def test_select_scale_pix_pallas_interpret():
                     int(bits_ps[1].min() * 0.4 + bits_ps[1].max() * 0.6),
                     -1], np.int32)
     want = bsp.select_scale_pallas(c, jnp.asarray(thr), interpret=True)
-    got = bsp.select_scale_pix_pallas(jnp.asarray(pix), jnp.asarray(thr),
-                                      interpret=True)
+    *got, c64 = bsp.select_scale_pix_pallas(
+        jnp.asarray(pix), jnp.asarray(thr), interpret=True)
     for name, g, w in zip(("scale", "bits", "nz"), got, want):
         assert np.array_equal(np.asarray(g), np.asarray(w)), name
+    c64 = np.asarray(c64)
+    assert np.array_equal(c64[:, :63, :NB], np.asarray(c))
+    assert (c64[:, 63, :] == 0).all()
+    assert (c64[:, :, NB:] == 0).all()
 
 
-def test_emit_pack_pix_pallas_interpret():
-    """The fused FDCT+emit+pack kernel == emit_pack_pallas on the FDCT
-    of the same pixels (multi-chunk, ragged tail)."""
+def test_emit_pack_pallas_on_select_coefs_interpret():
+    """emit_pack_pallas fed the select kernel's (B, 64, nb_pad)
+    coefficient output (wide lanes, zero pad row) == emit_pack_pallas
+    on the explicit (B, 63, NB) coefficients (multi-chunk, ragged
+    tail)."""
     rng = np.random.default_rng(22)
     B, NB = 2, bsp.TILE + 137
     pix = _rand_pix(rng, B, NB)
     c = bs_ops.pixrows_to_coefs_zz(jnp.asarray(pix))
+    thr = jnp.asarray(np.full(B, 10 ** 8, np.int32))
+    *_, c64 = bsp.select_scale_pix_pallas(jnp.asarray(pix), thr,
+                                          interpret=True)
     scale = jnp.asarray(np.array([2, 29], np.int32))
     dc_bits = rng.integers(2, 11, (B, NB)).astype(np.int32)
     dc_code = (rng.integers(0, 1 << 10, (B, NB)).astype(np.int32)
                & ((1 << dc_bits) - 1))
     want = bsp.emit_pack_pallas(c, scale, jnp.asarray(dc_code),
                                 jnp.asarray(dc_bits), interpret=True)
-    got = bsp.emit_pack_pix_pallas(jnp.asarray(pix), scale,
-                                   jnp.asarray(dc_code),
-                                   jnp.asarray(dc_bits), interpret=True)
+    got = bsp.emit_pack_pallas(c64, scale, jnp.asarray(dc_code),
+                               jnp.asarray(dc_bits), interpret=True)
     assert np.array_equal(np.asarray(got[0]), np.asarray(want[0]))
     assert np.array_equal(np.asarray(got[1]), np.asarray(want[1]))
 

@@ -134,8 +134,9 @@ def main():
         pix = api._frames_to_pixrows(frames, W, H)
         sel = bs_ops.select_frames_pixels(pix, budgets,
                                           codec=bs_ops.BS_V2)
-        streams, bbits = bs_pallas.emit_pack_pix_pallas(
-            pix, sel["scale_idx"] + 1, sel["dc_code"], sel["dc_bits"])
+        streams, bbits = bs_pallas.emit_pack_pallas(
+            sel["c64"], sel["scale_idx"] + 1, sel["dc_code"],
+            sel["dc_bits"])
         return streams.astype(jnp.int32).sum() + bbits.sum()
 
     timed("coefs", lambda: coefs_only(frames), iters)
