@@ -15,6 +15,10 @@ the jit cache — actually groups the device work across files (SURVEY
   one global frame sequence per (codec, geometry) class; the frame
   encoder consumes it in its usual device batches, so tail frames of one
   file share batches with head frames of the next instead of padding.
+- **streaming-tier audio jobs** (inputs big enough for the O(1)-memory
+  ingest) keep their bounded chunk feeds but run concurrently, with each
+  round of chunks encoded in one shared device call (_ChunkBatcher) —
+  the batch axis applies even to inputs too big to hold whole.
 
 Grouping is on by default; PSXAVENC_BATCH_GROUP=0 restores strictly
 serial execution (identical output bytes either way).
@@ -36,6 +40,7 @@ import io as iomod
 import os
 import shlex
 import sys
+import threading
 import time
 
 import numpy as np
@@ -170,6 +175,151 @@ def _grouped_unit_encode(units, lim, fc, sr, p1, p2, state_t):
                                          prev2=p2, state_t=state_t)
 
 
+class _ThreadStderr:
+    """Per-thread stderr demux for concurrently running streaming jobs:
+    registered threads write to a private buffer (dumped in job order
+    when the phase ends), everyone else passes through to the real
+    stream — progress lines from parallel jobs never interleave."""
+
+    def __init__(self, real):
+        self.real = real
+        self.bufs = {}
+
+    def register(self):
+        buf = iomod.StringIO()
+        self.bufs[threading.get_ident()] = buf
+        return buf
+
+    def write(self, s):
+        buf = self.bufs.get(threading.get_ident())
+        (buf if buf is not None else self.real).write(s)
+        return len(s)
+
+    def flush(self):
+        if threading.get_ident() not in self.bufs:
+            self.real.flush()
+
+    def isatty(self):
+        return False
+
+    def close(self):
+        # Loggers may cache us as their stream and close at exit; the
+        # real stream's lifetime is not ours to end.
+        pass
+
+
+class _ChunkBatcher:
+    """Groups the bounded-memory streaming tier's per-chunk unit encodes
+    across concurrently running jobs into shared device calls.
+
+    Each streaming audio job runs in its own thread with a ``chunked``
+    unit_encoder (the containers keep their memory-bounding chunk feeds —
+    vag.SPU_CHUNK_BLOCKS / xa.AUDIO_CHUNK_SECTORS_SOLO). A chunk encode
+    enqueues its gathered units and blocks; when every still-active job
+    has a chunk pending, the whole round encodes through the same
+    per-(filter_count, shift_range) grouped device call the whole-file
+    batch path uses. State threading stays per job (the containers pass
+    prev1/prev2 explicitly), so bytes are identical to serial execution.
+    With a single streaming job the rounds are singletons — exactly the
+    serial chunk feed. Beats the reference's one-file process model
+    (main.c:51-212) on exactly the inputs too big for whole-file
+    grouping."""
+
+    def __init__(self, quiet=False):
+        self.cv = threading.Condition()
+        self.active = 0
+        self.pending = []
+        self.quiet = quiet
+        self.rounds = 0
+        self.grouped_rounds = 0
+        self.max_round = 0
+
+    def register(self):
+        with self.cv:
+            self.active += 1
+
+    def unregister(self):
+        with self.cv:
+            self.active -= 1
+            if self.pending and len(self.pending) >= self.active:
+                self._flush_locked()
+
+    def encoder(self):
+        from .models import adpcm_stream as streams
+
+        def enc(channel_samples, offsets, limits, filter_count,
+                shift_range, prev1=None, prev2=None, use_pallas=None):
+            units, lim = streams.gather_units(
+                np.asarray(channel_samples), np.asarray(offsets),
+                np.asarray(limits))
+            slot = {"units": units, "lim": lim, "fc": filter_count,
+                    "sr": shift_range, "prev1": prev1, "prev2": prev2,
+                    "done": False, "out": None}
+            with self.cv:
+                self.pending.append(slot)
+                if len(self.pending) >= self.active:
+                    self._flush_locked()
+                else:
+                    while not slot["done"]:
+                        self.cv.wait()
+            return slot["out"]
+
+        enc.chunked = True
+        return enc
+
+    def _flush_locked(self):
+        reqs, self.pending = self.pending, []
+        self.rounds += 1
+        if len(reqs) > 1:
+            self.grouped_rounds += 1
+            self.max_round = max(self.max_round, len(reqs))
+        results = _encode_audio_groups(reqs, quiet=True)
+        for slot, res in zip(reqs, results):
+            slot["out"] = res
+            slot["done"] = True
+        self.cv.notify_all()
+
+
+def _run_streaming_audio(plan, rcs, finish, quiet=False):
+    """Run streaming-tier audio jobs concurrently with chunk rounds
+    batched into shared device calls (bytes identical to serial)."""
+    batcher = _ChunkBatcher(quiet=quiet)
+    mux = _ThreadStderr(sys.stderr)
+    bufs = [None] * len(plan)
+
+    def run_one(k, i, args, dec):
+        bufs[k] = mux.register()
+        batcher.register()
+        try:
+            rcs[i] = finish(args, dec, unit_encoder=batcher.encoder())
+        except BaseException:
+            rcs[i] = 1
+            raise
+        finally:
+            batcher.unregister()
+
+    real_stderr = sys.stderr
+    sys.stderr = mux
+    try:
+        threads = [threading.Thread(target=run_one, args=(k, i, a, d),
+                                    daemon=True)
+                   for k, (i, a, d) in enumerate(plan)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        sys.stderr = real_stderr
+    for buf in bufs:
+        if buf is not None and buf.getvalue():
+            sys.stderr.write(buf.getvalue())
+    if not quiet and batcher.grouped_rounds:
+        print(f"[batch] streaming tier: {len(plan)} jobs, "
+              f"{batcher.grouped_rounds}/{batcher.rounds} chunk rounds "
+              f"shared a device call (widest {batcher.max_round})",
+              file=sys.stderr)
+
+
 def _video_plan(args, dec):
     """(sources, budgets) for a video job — the same frame/budget pairing
     the incremental muxers consume (frame k <- source min(k-1, last))."""
@@ -236,6 +386,7 @@ def run_jobs(jobs, group=True, quiet=False):
 
     plan_audio = []   # (job_index, args, dec, request_index)
     plan_video = []   # (job_index, args, dec, sources, budgets)
+    plan_stream = []  # (job_index, args, dec) — streaming-tier audio
     serial = []       # (job_index, argv) — run through cli.main
     audio_reqs = []
 
@@ -261,9 +412,17 @@ def run_jobs(jobs, group=True, quiet=False):
             rcs[i] = 1
             continue
         if isinstance(dec, ingest.StreamingDecoder):
-            # Streaming jobs encode lazily; run them serially.
-            dec.close()
-            serial.append((i, jobs[i]))
+            if fmt in AUDIO_FORMATS:
+                # Streaming audio keeps its bounded chunk feed but runs
+                # concurrently: chunk rounds across jobs share device
+                # calls (_ChunkBatcher).
+                plan_stream.append((i, args, dec))
+            else:
+                # Streaming video encodes lazily through the frame
+                # encoder's own 64-frame device batches (already near
+                # full occupancy); run serially.
+                dec.close()
+                serial.append((i, jobs[i]))
             continue
         if fmt in AUDIO_FORMATS:
             n_before = len(audio_reqs)
@@ -324,6 +483,8 @@ def run_jobs(jobs, group=True, quiet=False):
         rcs[i] = finish(args, dec,
                         unit_encoder=_replay_encoder(
                             [audio_results[req0]]))
+    if plan_stream:
+        _run_streaming_audio(plan_stream, rcs, finish, quiet=quiet)
     for k, (i, args, dec, _s, _b) in enumerate(plan_video):
         rcs[i] = finish(args, dec, frame_results=video_results[k])
     for (i, argv) in serial:
@@ -343,6 +504,12 @@ def run_jobs(jobs, group=True, quiet=False):
 
 
 def main(argv=None):
+    # Same platform override the single-file CLI honors (cli.main).
+    plat = os.environ.get("PSXAVENC_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     if argv is None:
         argv = sys.argv[1:]
     if len(argv) != 1:

@@ -146,3 +146,42 @@ def test_batch_grouping_fuzz_byte_parity(tmp_path, seed):
     assert all(rc == 0 for rc in rcs_g), rcs_g
     for jg, js in zip(jobs_g, jobs_s):
         assert open(jg[-1], "rb").read() == open(js[-1], "rb").read(), jg
+
+
+def test_batch_streaming_tier_chunks_grouped(tmp_path, monkeypatch,
+                                             capsys):
+    """Streaming-tier audio jobs (inputs above the whole-file memory
+    lid) no longer drop to serial: they run concurrently and their chunk
+    rounds share device calls, bytes identical to serial execution."""
+    from psxavenc_tpu.containers import vag as vagmod
+    from psxavenc_tpu.containers import xa as xamod
+
+    monkeypatch.setenv("PSXAVENC_STREAMING", "1")
+    # Small chunks -> several rounds per job, so rounds really overlap.
+    monkeypatch.setattr(vagmod, "SPU_CHUNK_BLOCKS", 64)
+    monkeypatch.setattr(xamod, "AUDIO_CHUNK_SECTORS_SOLO", 8)
+
+    (tmp_path / "g").mkdir()
+    (tmp_path / "s").mkdir()
+    jobs_g, jobs_s = [], []
+    for k, n in enumerate((30011, 41273, 24890)):
+        wav = write_wav(tmp_path / f"a{k}.wav", rand_pcm(n, seed=40 + k),
+                        44100)
+        for d, jobs in (("g", jobs_g), ("s", jobs_s)):
+            jobs.append(["-q", "-t", "vag", "-f", "44100", str(wav),
+                         str(tmp_path / d / f"a{k}.vag")])
+    stw = write_wav(tmp_path / "st.wav",
+                    rand_pcm(50000, channels=2, seed=44), 37800)
+    for d, jobs in (("g", jobs_g), ("s", jobs_s)):
+        jobs.append(["-t", "xa", "-f", "37800", "-c", "2", str(stw),
+                     str(tmp_path / d / "o.xa")])
+
+    rcs_g = batch.run_jobs(jobs_g, group=True, quiet=False)
+    err = capsys.readouterr().err
+    rcs_s = batch.run_jobs(jobs_s, group=False, quiet=True)
+    assert rcs_g == rcs_s == [0] * len(jobs_g)
+    for jg, js in zip(jobs_g, jobs_s):
+        assert open(jg[-1], "rb").read() == open(js[-1], "rb").read(), jg
+    # The runner reported actually-shared chunk rounds across jobs.
+    assert "streaming tier: 4 jobs" in err, err
+    assert "shared a device call" in err, err
