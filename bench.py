@@ -451,6 +451,32 @@ def main():
         log(f"ours: batch runner {batch_runner['grouped']:.1f} files/s "
             f"grouped vs {batch_runner['serial']:.1f} serial")
 
+    # Roofline accounting: judge "fast" against the chip, not only the
+    # reference CPU (psxavenc_tpu/utils/roofline.py documents the op
+    # censuses and the peak assumptions).
+    roofline = {}
+    if dev.platform == "tpu":
+        from psxavenc_tpu.utils import roofline as rl
+
+        chip = rl.chip_for(getattr(dev, "device_kind", ""))
+        cap = (FRAME_BUDGET - 8) // 2
+        v_ms = 1e3 * 64 / video_dev_fps
+        v_sol, v_pct = rl.video_report(v_ms, chip, VIDEO_W, VIDEO_H,
+                                       64, cap)
+        a_sol, a_pct = rl.audio_report(audio_msps, chip)
+        roofline = {
+            "video_full_ms_per_64": round(v_ms, 3),
+            "video_sol_ms_per_64": round(v_sol, 3),
+            "video_pct_of_roofline": round(100 * v_sol / v_ms, 1),
+            "audio_sol_msps": round(a_sol, 1),
+            "audio_pct_of_roofline": round(a_pct, 1),
+        }
+        log(f"roofline: video FULL {v_ms:.2f} ms/64-frame batch vs "
+            f"{v_sol:.2f} ms light speed "
+            f"({roofline['video_pct_of_roofline']:.0f}% of roofline); "
+            f"audio {audio_msps:.0f} Msps vs {a_sol:.0f} SOL "
+            f"({a_pct:.0f}% of roofline)")
+
     details = {
         "device": str(dev),
         "video_fps": video_fps,
@@ -466,6 +492,7 @@ def main():
         "video_device_batch_sweep_fps": batch_sweep,
         "video_fps_device_v3dc": v3dc_fps,
         "batch_runner_files_per_sec": batch_runner,
+        "roofline": roofline,
         "notes": "video_fps is end-to-end through the dev tunnel and "
                  "since r4 INCLUDES the raw-NV21 frame upload (r3's "
                  "number kept frames device-resident, so r3/r4 e2e "

@@ -118,6 +118,13 @@ def _kernel(units_ref, limits_ref, prev1_ref, prev2_ref,
 
     a1 = jnp.broadcast_to(p1[None, :], (Cp, B)) + jnp.int32(0)
     a2 = jnp.broadcast_to(p2[None, :], (Cp, B)) + jnp.int32(0)
+    # Exact squared-error accumulates as (carry count, uint32 wraparound
+    # sum): err^2 < 2^32 per step, so the 64-bit total is
+    # mse_hi * 2^32 + uint(mse_lo) with mse_hi bumped whenever the
+    # uint32 add wraps (acc_new <u sq). 8 ops/step vs 15 for the old
+    # explicit two-limb (hi*256+lo)^2 expansion — this loop is ~95% of
+    # the kernel, so op count here IS the throughput.
+    BIAS = jnp.int32(-0x80000000)     # signed<->unsigned compare bias
     mse_hi = jnp.zeros((Cp, B), jnp.int32)
     mse_lo = jnp.zeros((Cp, B), jnp.int32)
     words = [jnp.zeros((Cp, B), jnp.int32) for _ in range(n_words)]
@@ -125,22 +132,22 @@ def _kernel(units_ref, limits_ref, prev1_ref, prev2_ref,
         s = raw[i][None, :]
         pred = (k1c * a1 + k2c * a2 + 32) >> 6
         enc = (((s - pred) << shc) + half) >> shift_range
-        enc = jnp.clip(enc, lo_lim, hi_lim) & sample_mask
-        dec = (enc << shift_range) & 0xFFFF
-        dec = dec - ((dec & 0x8000) << 1)
-        dec = jnp.clip((dec >> shc) + pred, -0x8000, 0x7FFF)
-        ae = jnp.abs(dec - s)
-        a_hi = ae >> 8
-        a_lo = ae & 0xFF
-        low = 2 * a_hi * a_lo * 256 + a_lo * a_lo
-        mse_hi = mse_hi + a_hi * a_hi + (low >> 16)
-        mse_lo = mse_lo + (low & 0xFFFF)
+        # Keep the sample SIGNED: enc << shift_range is already the
+        # sign-extended 16-bit reconstruction (the nibble masks on at
+        # pack time), skipping the mask + sign-extend dance.
+        enc = jnp.clip(enc, lo_lim, hi_lim)
+        dec = jnp.clip(((enc << shift_range) >> shc) + pred,
+                       -0x8000, 0x7FFF)
+        d = dec - s
+        sq = d * d       # |d| <= 65535: low 32 bits ARE d^2 exactly
+        acc = mse_lo + sq              # uint32 add (wraparound)
+        mse_hi = mse_hi + ((acc ^ BIAS) < (sq ^ BIAS)).astype(jnp.int32)
+        mse_lo = acc
         words[i // per_word] = words[i // per_word] \
-            | (enc << (vbits * (i % per_word)))
+            | ((enc & sample_mask) << (vbits * (i % per_word)))
         a2 = a1
         a1 = dec
-    mse_hi = mse_hi + (mse_lo >> 16)
-    mse_lo = mse_lo & 0xFFFF
+    mse_lo = mse_lo ^ BIAS             # bias once; folds compare signed
 
     # --- fold rows 0..C-1 in candidate order (strictly-better updates).
     sel_hi, sel_lo = mse_hi[0], mse_lo[0]
