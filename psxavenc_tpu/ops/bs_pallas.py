@@ -34,30 +34,31 @@ from . import fdct as fdct_ops
 TILE = 512
 
 
-def _fdct_zz_chunk(pix_ref, ci):
+def _fdct_zz_chunk(pix_ref, ci, f=0):
     """FDCT one TILE-wide chunk of a frame's pixel rows in VMEM.
 
-    pix_ref is the (1, 64, nb_pad) block of centered pixels in
+    pix_ref is the (F, 64, nb_pad) block of centered pixels in
     block-sample layout (row 8r+c = sample (r, c) of each block, blocks
-    on lanes). Returns a list of 63 (1, TILE) int32 AC rows in ZIGZAG
-    order (list index p = scan position p+1) — the same values the XLA
-    rearrange+FDCT stage used to round-trip through HBM
-    (mdec.c:605-641 runs rearrange+FDCT as one pass there too).
+    on lanes); ``f`` picks the frame. Returns a list of 63 (1, TILE)
+    int32 AC rows in ZIGZAG order (list index p = scan position p+1) —
+    the same values the XLA rearrange+FDCT stage used to round-trip
+    through HBM (mdec.c:605-641 runs rearrange+FDCT as one pass there
+    too).
     """
-    x = pix_ref[0, :, ci * TILE:(ci + 1) * TILE].astype(jnp.int32)
+    x = pix_ref[f, :, ci * TILE:(ci + 1) * TILE].astype(jnp.int32)
     rows = [x[i:i + 1, :] for i in range(64)]
     out = fdct_ops.fdct_rows(rows)
     return [out[int(bs_ops.ZAGZIG[p + 1])] for p in range(63)]
 
 
-def _fdct_frame_to_scratch(dst, pix_ref, nchunks, abs_dst=None):
-    """FDCT the whole frame into the (64, nb_pad) VMEM ref ``dst``,
-    signed zigzag rows (row p = scan position p+1; row 63 is zero).
-    Stores ride 8-row groups so Mosaic writes full sublane tiles.
-    With ``abs_dst``, also store |rows| there (one extra store per
-    group — far cheaper than re-taking abs on every search read)."""
+def _fdct_frame_to_scratch(dst, pix_ref, nchunks, abs_dst=None, f=0):
+    """FDCT frame ``f`` of the pixel block into the (64, nb_pad) VMEM
+    ref ``dst``, signed zigzag rows (row p = scan position p+1; row 63
+    is zero). Stores ride 8-row groups so Mosaic writes full sublane
+    tiles. With ``abs_dst``, also store |rows| there (one extra store
+    per group — far cheaper than re-taking abs on every search read)."""
     for ci in range(nchunks):
-        zz_rows = _fdct_zz_chunk(pix_ref, ci)
+        zz_rows = _fdct_zz_chunk(pix_ref, ci, f)
         zz_rows.append(jnp.zeros_like(zz_rows[0]))
         for g in range(8):
             grp = jnp.concatenate(zz_rows[8 * g:8 * g + 8], axis=0)
@@ -200,9 +201,10 @@ def _select_kernel(thr_ref, c_ref, qcol_ref, rcp_ref, out_ref, seed_ref,
 
 
 def _search_store(thr, q_col, rcp_base, load_abs, out_ref, seed_ref,
-                  nchunks):
+                  nchunks, orow=0):
     """The seeded LB search + exact first-fit walk shared by the coefs-
-    and pixel-input select kernels (see :func:`_select_kernel`)."""
+    and pixel-input select kernels (see :func:`_select_kernel`);
+    ``orow`` is the output-block row (frame within a fat grid step)."""
     # --- lower_bound(feasible) over scales [1, 63]; 64 = none feasible.
     # Bracket invariant: LB(lo) infeasible (0 = sentinel), LB(hi)
     # feasible (64 = sentinel).
@@ -252,7 +254,7 @@ def _search_store(thr, q_col, rcp_base, load_abs, out_ref, seed_ref,
     scale = jnp.where(found, s_end - 1, jnp.int32(64))
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    out_ref[0, 0] = jnp.where(
+    out_ref[orow, 0] = jnp.where(
         lane == 0, scale,
         jnp.where(lane == 1, bits, jnp.where(lane == 2, nz, 0)))[0]
 
@@ -308,18 +310,21 @@ def select_scale_pallas(coefs_zz, thr_ac, *, interpret=False):
 
 
 def _select_pix_kernel(thr_ref, pix_ref, qcol_ref, rcp_ref, out_ref,
-                       coefs_ref, seed_ref, abs_scr, *, nchunks):
-    """Pixel-input variant of :func:`_select_kernel`: FDCT the frame's
+                       coefs_ref, seed_ref, abs_scr, *, nchunks, fpp):
+    """Pixel-input variant of :func:`_select_kernel`: FDCT each frame's
     centered pixels into the ``coefs_ref`` output block (signed zigzag
     rows; row 63 zero), then run the identical seeded search reading it
     back — the FDCT runs ONCE per frame here and the emit kernel reuses
     the written coefficients, so the XLA rearrange+FDCT stage never
     runs and its HBM round trip shrinks to this kernel's output DMA.
     The search work hides the FDCT almost entirely (the kernel is
-    serialization-bound on its scalar fit decisions, measured +0.01 ms
-    over the coefs-input kernel on v5e)."""
+    serialization-bound on its scalar fit decisions).
+
+    ``fpp`` frames ride each grid step (sequential inner loop, same
+    seed threading/order as fpp=1): TPU grids execute serially and the
+    per-frame work is scalar-decision bound, so halving the step count
+    shaves the per-step Mosaic dispatch + block DMA bookkeeping."""
     b = pl.program_id(0)
-    thr = thr_ref[b]
     q_col = qcol_ref[...]
     rcp_base = rcp_ref[...]
 
@@ -327,14 +332,15 @@ def _select_pix_kernel(thr_ref, pix_ref, qcol_ref, rcp_ref, out_ref,
     def _():
         seed_ref[0] = jnp.int32(0)
 
-    _fdct_frame_to_scratch(coefs_ref.at[0], pix_ref, nchunks,
-                           abs_dst=abs_scr)
+    for f in range(fpp):
+        _fdct_frame_to_scratch(coefs_ref.at[f], pix_ref, nchunks,
+                               abs_dst=abs_scr, f=f)
 
-    def load_abs(ci):
-        return abs_scr[0:63, ci * TILE:(ci + 1) * TILE]
+        def load_abs(ci):
+            return abs_scr[0:63, ci * TILE:(ci + 1) * TILE]
 
-    _search_store(thr, q_col, rcp_base, load_abs, out_ref, seed_ref,
-                  nchunks)
+        _search_store(thr_ref[b * fpp + f], q_col, rcp_base, load_abs,
+                      out_ref, seed_ref, nchunks, orow=f)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -360,6 +366,7 @@ def select_scale_pix_pallas(pix, thr_ac, *, interpret=False):
         # Zero pixel columns FDCT to zero -> contribute nothing.
         pix = jnp.pad(pix, ((0, 0), (0, 0), (0, nb_pad - NB)))
     nchunks = nb_pad // TILE
+    fpp = 2 if B % 2 == 0 else 1       # frames per grid step
 
     zz = bs_ops.ZAGZIG[1:]
     qcol = jnp.asarray(bs_ops.QUANT_PSX[zz].astype(np.int32))[:, None]
@@ -369,22 +376,24 @@ def select_scale_pix_pallas(pix, thr_ac, *, interpret=False):
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, 64, nb_pad), lambda b, *_: (b, 0, 0),
+        grid=(B // fpp,),
+        in_specs=[pl.BlockSpec((fpp, 64, nb_pad),
+                               lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((63, 1), lambda b, *_: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((63, 1), lambda b, *_: (0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((1, 1, 128), lambda b, *_: (b, 0, 0),
+        out_specs=[pl.BlockSpec((fpp, 1, 128), lambda b, *_: (b, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 64, nb_pad), lambda b, *_: (b, 0, 0),
+                   pl.BlockSpec((fpp, 64, nb_pad),
+                                lambda b, *_: (b, 0, 0),
                                 memory_space=pltpu.VMEM)],
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
                         pltpu.VMEM((64, nb_pad), jnp.int32)],
     )
     out, coefs = pl.pallas_call(
-        functools.partial(_select_pix_kernel, nchunks=nchunks),
+        functools.partial(_select_pix_kernel, nchunks=nchunks, fpp=fpp),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, 1, 128), jnp.int32),
                    jax.ShapeDtypeStruct((B, 64, nb_pad), jnp.int32)],
@@ -407,26 +416,28 @@ def _cumsum_excl_cols(x):
 
 
 def _emit_pack_kernel(scale_ref, c_ref, dcc_ref, dcb_ref, qcol_ref,
-                      rcp_ref, streams_ref, bbits_ref, *, nchunks):
-    """One grid step per FRAME (TPU grids are sequential; fat steps
+                      rcp_ref, streams_ref, bbits_ref, *, nchunks, fpp):
+    """``fpp`` frames per grid step (TPU grids are sequential; fat steps
     amortize per-step Mosaic dispatch — the former (B, ntiles) grid paid
     it 4x per frame), statically unrolled over the TILE-wide chunks.
-    ``c_ref`` blocks are (1, 63, nb_pad) or (1, 64, nb_pad) — row 63,
-    when present, is the select kernel's zero pad row and is ignored."""
+    ``c_ref`` blocks are (fpp, 63, nb_pad) or (fpp, 64, nb_pad) —
+    row 63, when present, is the select kernel's zero pad row and is
+    ignored."""
     b = pl.program_id(0)
-    s = scale_ref[b]
     q_col = qcol_ref[...]
     rcp_base = rcp_ref[...]
-    for ci in range(nchunks):
-        _emit_pack_chunk(
-            s, c_ref[0, 0:63, ci * TILE:(ci + 1) * TILE],
-            dcc_ref[0, 0, ci * TILE:(ci + 1) * TILE],
-            dcb_ref[0, 0, ci * TILE:(ci + 1) * TILE],
-            q_col, rcp_base, streams_ref, bbits_ref, ci)
+    for f in range(fpp):
+        s = scale_ref[b * fpp + f]
+        for ci in range(nchunks):
+            _emit_pack_chunk(
+                s, c_ref[f, 0:63, ci * TILE:(ci + 1) * TILE],
+                dcc_ref[f, 0, ci * TILE:(ci + 1) * TILE],
+                dcb_ref[f, 0, ci * TILE:(ci + 1) * TILE],
+                q_col, rcp_base, streams_ref, bbits_ref, ci, f)
 
 
 def _emit_pack_chunk(s, c, dcc, dcb, q_col, rcp_base, streams_ref,
-                     bbits_ref, ci):
+                     bbits_ref, ci, f=0):
     tp = c.shape[1]
     dc_code = dcc.reshape(1, tp).astype(jnp.uint32)
     dc_bits = dcb.reshape(1, tp)
@@ -460,7 +471,7 @@ def _emit_pack_chunk(s, c, dcc, dcb, q_col, rcp_base, streams_ref,
     # --- in-block offsets: DC first, ACs in scan order, EOB last.
     offs = dc_bits + _cumsum_excl_cols(bits)       # (63, TILE)
     total = offs[62:63, :] + bits[62:63, :]        # after last AC
-    bbits_ref[0, 0, ci * TILE:(ci + 1) * TILE] = (total + 2)[0]
+    bbits_ref[f, 0, ci * TILE:(ci + 1) * TILE] = (total + 2)[0]
 
     # --- dense window packing into the (BCAP, TILE) per-block streams
     # (bit-identical to bitpack._pack_block_streams). Accumulate in
@@ -499,7 +510,7 @@ def _emit_pack_chunk(s, c, dcc, dcb, q_col, rcp_base, streams_ref,
     acc = place(acc, total, jnp.full((1, tp), 2, jnp.int32),
                 jnp.full((1, tp), 0x2, jnp.uint32))
     w16 = jnp.stack([acc >> 16, acc & 0xFFFF], axis=1)  # (8, 2, tp)
-    streams_ref[0, :, ci * TILE:(ci + 1) * TILE] = \
+    streams_ref[f, :, ci * TILE:(ci + 1) * TILE] = \
         w16.reshape(bpk.BCAP, tp).astype(jnp.int32)
 
 
@@ -547,28 +558,34 @@ def emit_pack_pallas(coefs_zz, scale, dc_code, dc_bits, *,
         (1.0 / bs_ops.QUANT_PSX[zz].astype(np.float64)).astype(
             np.float32))[:, None]
 
+    # NEGATIVE RESULT (r5): fpp=2 here REGRESSED (3.2-3.35 vs 2.81 ms
+    # FULL on v5e) — unlike the select kernel, emit's per-step blocks
+    # are big ((fpp, BCAP, nb_pad) streams out), so doubling them hurts
+    # the DMA pipelining more than the halved dispatch count helps.
+    fpp = 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, P, nb_pad), lambda b, s: (b, 0, 0),
+        grid=(B // fpp,),
+        in_specs=[pl.BlockSpec((fpp, P, nb_pad), lambda b, s: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 1, nb_pad), lambda b, s: (b, 0, 0),
+                  pl.BlockSpec((fpp, 1, nb_pad), lambda b, s: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 1, nb_pad), lambda b, s: (b, 0, 0),
+                  pl.BlockSpec((fpp, 1, nb_pad), lambda b, s: (b, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((63, 1), lambda b, s: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((63, 1), lambda b, s: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[
-            pl.BlockSpec((1, bpk.BCAP, nb_pad), lambda b, s: (b, 0, 0),
+            pl.BlockSpec((fpp, bpk.BCAP, nb_pad),
+                         lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nb_pad), lambda b, s: (b, 0, 0),
+            pl.BlockSpec((fpp, 1, nb_pad), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
     streams, bbits = pl.pallas_call(
-        functools.partial(_emit_pack_kernel, nchunks=ntiles),
+        functools.partial(_emit_pack_kernel, nchunks=ntiles, fpp=fpp),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, bpk.BCAP, nb_pad), jnp.int32),
