@@ -392,11 +392,14 @@ def _remix_resample(samples, src_rate, target_channels, dst_rate):
 def _resample(samples, src_rate, dst_rate):
     """Rate conversion for the ffmpeg-free fallback tier.
 
-    Bit-exact passthrough when rates match. For the common PSX ratios the
-    shipped swresample tap banks (io/swr_exact.py, extracted from the
-    real library) replay swr_convert EXACTLY; anything else falls back to
-    a scipy polyphase approximation (documented divergence, PARITY.md).
-    """
+    Bit-exact passthrough when rates match. For the common PSX ratios
+    the shipped swresample tap banks (io/swr_exact.py, extracted from
+    the real library) replay swr_convert EXACTLY; every other rational
+    ratio synthesizes a bank with the reverse-engineered filter
+    generator (io/swr_gen.py) — byte-identical to libswresample in its
+    exact-rational regime except for taps that land within a float ulp
+    of a rounding boundary (PARITY.md; worst case +-1 LSB on isolated
+    outputs)."""
     if src_rate == dst_rate:
         return samples
     from . import swr_exact
@@ -404,12 +407,10 @@ def _resample(samples, src_rate, dst_rate):
     exact = swr_exact.resample(samples, src_rate, dst_rate)
     if exact is not None:
         return exact
-    from scipy.signal import resample_poly
+    from . import swr_gen
 
-    g = math.gcd(src_rate, dst_rate)
-    up, down = dst_rate // g, src_rate // g
-    out = resample_poly(samples.astype(np.float64), up, down, axis=0)
-    return np.clip(np.rint(out), -32768, 32767).astype(np.int16)
+    bank = swr_gen.generate_bank(src_rate, dst_rate)
+    return swr_exact.apply_bank(np.asarray(samples, np.int64), *bank)
 
 
 def _ffprobe(path):
