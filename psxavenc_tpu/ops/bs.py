@@ -741,7 +741,12 @@ def select_frames_pixels(pix, frame_max_sizes, *, codec):
     assert P == 64
     dc = pix.astype(jnp.int32).sum(axis=1)
     dc_q = _clamp_coeff(_div_rounded(dc, jnp.int32(16)))
-    dc_bits, dc_code = _dc_stage(dc_q, codec)
+    if codec == BS_V2:
+        dc_bits, dc_code = _dc_stage(dc_q, codec)
+    else:
+        # One-launch Mosaic DC chain: the XLA associative_scan's ~40
+        # tiny kernels were the whole v2-vs-v3dc device gap.
+        dc_bits, dc_code = bs_pallas.dc_stage_pallas(dc_q, codec)
     dc_total = dc_bits.sum(axis=1)
 
     thr_ac = (((frame_max_sizes - 8) // 2) * 16

@@ -402,6 +402,122 @@ def select_scale_pix_pallas(pix, thr_ac, *, interpret=False):
     return out[:, 0, 0], out[:, 0, 1], out[:, 0, 2], coefs
 
 
+def _dc_chain_kernel(dcq_ref, bits_ref, code_ref, *, codec, b_rows):
+    """BS v3/v3dc DC-delta chain + closed-form Huffman in ONE Mosaic
+    launch. The XLA associative_scan (ops/bs.dc_chain) lowers to ~4
+    kernels per log level (~40 tiny launches on a 64-frame batch) and
+    was the whole v2-vs-v3dc device gap (~0.25 ms); here the identical
+    threshold-function Hillis-Steele scan runs as lane rolls over a
+    (3B, Lp) layout — rows = the Cr/Cb/Y chains of every frame, lanes =
+    chain position (end-padded with constant elements, which cannot
+    disturb prefixes). Semantics match ops/bs.dc_chain +
+    dc_bits_code_closed_form exactly (mdec.c:455-480, 159-187);
+    asserted in tests/test_bs_pallas.py."""
+    d = dcq_ref[...]                              # (3B, Lp) int32
+    rows, Lp = d.shape
+    neg_inf = jnp.int32(-(1 << 31) + 1)
+
+    r = d & 3
+    const = jnp.where(r == 0, d, jnp.where(r == 1, d - 1, d + 1))
+    on_half = r == 2
+    t = jnp.where(on_half, d, neg_inf)
+    a = jnp.where(on_half, d + 2, const)
+    b = jnp.where(on_half, d - 2, const)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, Lp), 1)
+    k = 1
+    while k < Lp:
+        tp = pltpu.roll(t, k, 1)
+        ap = pltpu.roll(a, k, 1)
+        bp = pltpu.roll(b, k, 1)
+        m = lane >= k
+        # compose(p=element at i-k, q=current): threshold tp, values
+        # q(ap), q(bp).
+        na = jnp.where(ap < t, a, b)
+        nb_ = jnp.where(bp < t, a, b)
+        t = jnp.where(m, tp, t)
+        a = jnp.where(m, na, a)
+        b = jnp.where(m, nb_, b)
+        k *= 2
+
+    last_after = jnp.where(0 < t, a, b)           # prefix applied to 0
+    rolled = pltpu.roll(last_after, 1, 1)
+    last_before = jnp.where(lane >= 1, rolled, 0)
+    deltas = (last_after - last_before) >> 2
+    if codec == bs_ops.BS_V3DC:
+        deltas = jnp.where(deltas < -0x80, deltas + 0x100, deltas)
+        deltas = jnp.where(deltas > 0x80, deltas - 0x100, deltas)
+
+    # Closed-form (bits, code) — same arithmetic as
+    # bs.dc_bits_code_closed_form, with type = chain id (row // B:
+    # 0=Cr, 1=Cb, 2=Y).
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, Lp), 0)
+    is_y = row >= 2 * b_rows
+    sd = ((deltas & 0x1FF) ^ 0x100) - 0x100
+    sd = jnp.maximum(sd, -255)
+    mag = jnp.abs(sd)
+    db = ((mag >= 2).astype(jnp.int32) + (mag >= 4) + (mag >= 8)
+          + (mag >= 16) + (mag >= 32) + (mag >= 64) + (mag >= 128))
+    bits = jnp.where(db == 0, 3, 2 * db + 2)
+    bits = jnp.where(is_y & (db >= 3), 2 * db + 1, bits)
+    bits = jnp.where(mag == 0, jnp.where(is_y, 3, 2), bits)
+    pv_c = jnp.where(db == 0, 1, (1 << (db + 1)) - 2)
+    pv_y = jnp.where(db >= 4, (1 << db) - 2,
+                     jnp.where(db == 3, 6, jnp.where(db == 2, 5, db)))
+    pv = jnp.where(is_y, pv_y, pv_c)
+    mask = (1 << (db + 1)) - 1
+    suffix = jnp.where(sd > 0, sd & mask, (sd - 1) & mask)
+    code = (pv << (db + 1)) | suffix
+    code = jnp.where(mag == 0, jnp.where(is_y, 4, 0), code)
+    bits_ref[...] = bits
+    code_ref[...] = code
+
+
+@functools.partial(jax.jit, static_argnames=("codec", "interpret"))
+def dc_stage_pallas(dc_q, codec, *, interpret=False):
+    """(B, NB) clamped quantized DCs -> (dc_bits, dc_code), the v3/v3dc
+    DC stage in one Mosaic launch (see :func:`_dc_chain_kernel`).
+    Bit-identical to ops/bs._dc_stage for codec BS_V3/BS_V3DC."""
+    B, NB = dc_q.shape
+    mb = NB // 6
+    assert NB == 6 * mb
+    bp = -(-B // 8) * 8                           # sublane-pad frames
+    if bp != B:
+        dc_q = jnp.pad(dc_q, ((0, bp - B), (0, 0)))
+    grid = dc_q.reshape(bp, mb, 6)
+    ylen = 4 * mb
+    Lp = -(-ylen // 128) * 128
+    cr = jnp.pad(grid[:, :, 0], ((0, 0), (0, Lp - mb)))
+    cb = jnp.pad(grid[:, :, 1], ((0, 0), (0, Lp - mb)))
+    y = jnp.pad(grid[:, :, 2:].reshape(bp, ylen),
+                ((0, 0), (0, Lp - ylen)))
+    stacked = jnp.concatenate([cr, cb, y], axis=0)   # (3*bp, Lp)
+
+    bits3, code3 = pl.pallas_call(
+        functools.partial(_dc_chain_kernel, codec=codec, b_rows=bp),
+        grid=(1,),
+        in_specs=[pl.BlockSpec((3 * bp, Lp), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((3 * bp, Lp), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((3 * bp, Lp), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((3 * bp, Lp), jnp.int32),
+                   jax.ShapeDtypeStruct((3 * bp, Lp), jnp.int32)],
+        interpret=interpret,
+    )(stacked.astype(jnp.int32))
+
+    def unstack(x):
+        out = jnp.empty((bp, mb, 6), jnp.int32)
+        out = out.at[:, :, 0].set(x[:bp, :mb])
+        out = out.at[:, :, 1].set(x[bp:2 * bp, :mb])
+        out = out.at[:, :, 2:].set(
+            x[2 * bp:, :ylen].reshape(bp, mb, 4))
+        return out.reshape(bp, NB)[:B]
+
+    return unstack(bits3), unstack(code3).astype(jnp.uint32)
+
+
 def _cumsum_excl_cols(x):
     """Exclusive prefix sum along axis 0 via Hillis-Steele log-shifts."""
     n = x.shape[0]

@@ -199,6 +199,8 @@ def test_emit_pack_pallas_interpret(monkeypatch):
         bsp.emit_pack_pallas, interpret=True))
     monkeypatch.setattr(bsp, "select_scale_pix_pallas", functools.partial(
         bsp.select_scale_pix_pallas, interpret=True))
+    monkeypatch.setattr(bsp, "dc_stage_pallas", functools.partial(
+        bsp.dc_stage_pallas, interpret=True))
 
     rng = np.random.default_rng(11)
     B = 2
@@ -345,6 +347,8 @@ def test_select_frames_pixels_matches_symbols(monkeypatch):
         bsp.select_scale_pallas, interpret=True))
     monkeypatch.setattr(bsp, "select_scale_pix_pallas", functools.partial(
         bsp.select_scale_pix_pallas, interpret=True))
+    monkeypatch.setattr(bsp, "dc_stage_pallas", functools.partial(
+        bsp.dc_stage_pallas, interpret=True))
     rng = np.random.default_rng(23)
     B, W, H = 2, 48, 32
     nb = (W // 16) * (H // 16) * 6
@@ -364,3 +368,21 @@ def test_select_frames_pixels_matches_symbols(monkeypatch):
                   "dc_bits", "dc_code"):
             assert np.array_equal(np.asarray(got[k]),
                                   np.asarray(want[k])), (codec, k)
+
+
+@pytest.mark.parametrize("codec", [bs_ops.BS_V3, bs_ops.BS_V3DC])
+def test_dc_stage_pallas_interpret(codec):
+    """The one-launch Mosaic DC chain == the XLA associative-scan stage
+    (bs._dc_stage) for v3 and v3dc, including non-multiple-of-8 batches
+    and the +-256 wrap deltas."""
+    rng = np.random.default_rng(31)
+    B, mb = 5, 37                       # NB = 222 blocks, B pads to 8
+    dc_q = rng.integers(-512, 511, (B, 6 * mb)).astype(np.int32)
+    # Force some exact-half (+-256-wrap-prone) deltas.
+    dc_q[0, :12] = np.array([510, -510, 2, -2, 254, -254, 6, 510, -2,
+                             2, -510, 254], np.int32)
+    want_b, want_c = bs_ops._dc_stage(jnp.asarray(dc_q), codec)
+    got_b, got_c = bsp.dc_stage_pallas(jnp.asarray(dc_q), codec,
+                                       interpret=True)
+    assert np.array_equal(np.asarray(got_b), np.asarray(want_b))
+    assert np.array_equal(np.asarray(got_c), np.asarray(want_c))
