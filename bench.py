@@ -417,20 +417,20 @@ def main():
     # fetch-baseline calibration inherits that (observed: the headline
     # batch-64 reading landed 20% under the same run's batch-32/v3dc
     # numbers when it was measured right after the e2e loop).
-    video_dev_fps = measure_video_device() if dev.platform == "tpu" \
+    video_dev_fps = measure_video_device(batch=128) \
+        if dev.platform == "tpu" \
         else None
     if video_dev_fps is not None:
         log(f"ours: video {video_dev_fps:.2f} fps (device-side)")
-    # Batch-size sweep (VERDICT r3 item 9): per-frame overhead fell in
-    # r4, so re-test whether bigger batches help. Measured answer on
-    # v5e: they don't — 64 stays the sweet spot (128 ~-8% on the honest
-    # argument-passing harness; 256 was far worse in the earlier sweep
-    # and is skipped here to bound bench runtime).
+    # Batch-size sweep: r5's per-frame overhead cuts (fpp=2 select,
+    # one-launch DC chain, fused emitter chains) moved the sweet spot
+    # from 32-64 (r3/r4) to 128 — paired runs +1.6 to +7.4% over 64 —
+    # so the headline and the production long-file chunk now use 128.
     batch_sweep = {}
     if dev.platform == "tpu":
-        for b in (32, 128):
+        for b in (32, 64):
             batch_sweep[str(b)] = measure_video_device(batch=b, iters=8)
-        batch_sweep["64"] = video_dev_fps
+        batch_sweep["128"] = video_dev_fps
         log(f"ours: device batch sweep {batch_sweep}")
     v3dc_fps = None
     if dev.platform == "tpu":
@@ -460,18 +460,18 @@ def main():
 
         chip = rl.chip_for(getattr(dev, "device_kind", ""))
         cap = (FRAME_BUDGET - 8) // 2
-        v_ms = 1e3 * 64 / video_dev_fps
+        v_ms = 1e3 * 128 / video_dev_fps
         v_sol, v_pct = rl.video_report(v_ms, chip, VIDEO_W, VIDEO_H,
-                                       64, cap)
+                                       128, cap)
         a_sol, a_pct = rl.audio_report(audio_msps, chip)
         roofline = {
-            "video_full_ms_per_64": round(v_ms, 3),
-            "video_sol_ms_per_64": round(v_sol, 3),
+            "video_full_ms_per_128": round(v_ms, 3),
+            "video_sol_ms_per_128": round(v_sol, 3),
             "video_pct_of_roofline": round(100 * v_sol / v_ms, 1),
             "audio_sol_msps": round(a_sol, 1),
             "audio_pct_of_roofline": round(a_pct, 1),
         }
-        log(f"roofline: video FULL {v_ms:.2f} ms/64-frame batch vs "
+        log(f"roofline: video FULL {v_ms:.2f} ms/128-frame batch vs "
             f"{v_sol:.2f} ms light speed "
             f"({roofline['video_pct_of_roofline']:.0f}% of roofline); "
             f"audio {audio_msps:.0f} Msps vs {a_sol:.0f} SOL "

@@ -37,8 +37,10 @@ STR_MAGIC = 0x0160
 # Frame look-ahead per batched device call. The audio chunking
 # (xa.AUDIO_CHUNK_SECTORS) also bounds the streaming tier's video FIFO
 # depth: filling one audio chunk decodes ~chunk-seconds of interleaved
-# video ahead (64 sectors ~= 1.7 s at 37800 Hz stereo).
-VIDEO_BATCH_FRAMES = 32
+# video ahead (64 sectors ~= 1.7 s at 37800 Hz stereo). 128 matches the
+# frame encoder's big device bucket (the r5 on-device sweet spot);
+# ~15 MB of raw NV21 look-ahead, still well under the streaming lid.
+VIDEO_BATCH_FRAMES = 128
 
 
 def _video_banner(args, interleave, vspb, frame_size):

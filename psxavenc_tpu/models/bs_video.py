@@ -93,10 +93,13 @@ class BsFrameEncoder:
         cap_words = max(1, (cap_bytes - 8 + 1) // 2)
         n_dev = len(self._devices)
         # Long files use a larger device batch (fixed per-call costs —
-        # scale probe/select, launch — amortize; device rate at batch 32+
-        # is near its peak), short ones avoid padding waste. Two bucket
-        # sizes keep the compile count at two programs per geometry.
-        chunk = 32 if n >= 32 else self.CHUNK
+        # scale probe/select, launch — amortize), short ones avoid
+        # padding waste. Bucketed chunk sizes bound the compile count
+        # per geometry. r5: the per-frame overhead cuts moved the
+        # device sweet spot from 32-64 to 128 (paired runs +1.6 to
+        # +7.4% over 64); on the dev tunnel e2e stays H2D-bound either
+        # way, but PCIe hosts see the device rate.
+        chunk = 128 if n >= 96 else (32 if n >= 32 else self.CHUNK)
         # Chunk granularity must divide over the mesh.
         gran = -(-chunk // n_dev) * n_dev if n_dev > 1 else chunk
 
@@ -159,8 +162,8 @@ class BsFrameEncoder:
         cap_words = max(1, (cap_bytes - 8 + 1) // 2)
         n_dev = len(self._devices)
         n = len(frames_nv21)
-        # Same two shape buckets as encode_frames (compile reuse).
-        gran = 32 if n > self.CHUNK else self.CHUNK
+        # Same shape buckets as encode_frames (compile reuse).
+        gran = 128 if n >= 96 else (32 if n > self.CHUNK else self.CHUNK)
         gran = max(gran, -(-n // n_dev) * n_dev) if n_dev > 1 else gran
         gran = -(-gran // n_dev) * n_dev if n_dev > 1 else gran
         pad = gran - n

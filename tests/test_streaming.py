@@ -136,8 +136,12 @@ def test_streaming_decoder_window_is_bounded(tmp_path, monkeypatch):
     chunk_seconds = xamod.AUDIO_CHUNK_SECTORS * sps / 37800
     bound = int(chunk_seconds * 15) + 3 * strf.VIDEO_BATCH_FRAMES + 16
     assert 0 < dec.peak_buffered_frames <= bound
-    # Audio FIFO: one chunk's take plus demux skew — far below the file.
-    cap = (xamod.AUDIO_CHUNK_SECTORS + 64) * sps * 2
+    # Audio FIFO: one chunk's take plus demux skew, plus the audio
+    # interleaved with the video look-ahead span (the muxer pulls up to
+    # ~3 video batches ahead of the audio cursor, and the demuxer must
+    # buffer that span's audio). Still O(1) in the file length.
+    lookahead_audio = 3 * strf.VIDEO_BATCH_FRAMES / 15 * 37800 * 2
+    cap = (xamod.AUDIO_CHUNK_SECTORS + 64) * sps * 2 + int(lookahead_audio)
     assert 0 < dec.peak_buffered_audio <= cap
 
 
