@@ -138,6 +138,7 @@ def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
         # emitting path for batches with a >256-bit block stream.
         from .ops import bs_pallas
 
+        prep = None
         if pallas_sweep:
             # Fused FDCT path: the select kernel FDCTs each frame in
             # VMEM from the pixel rows (the search hides the transform)
@@ -148,9 +149,19 @@ def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
             # per-scale loop too).
             pix = _frames_to_pixrows(frames, width, height)
             sel = bs_ops.select_frames_pixels(pix, budgets, codec=codec)
-            streams, block_bits = bs_pallas.emit_pack_pallas(
-                sel["c64"], sel["scale_idx"] + 1, sel["dc_code"],
-                sel["dc_bits"])
+            if packer in ("fused_gather", "fused_mxu"):
+                # Fully fused prep: the emit kernel also computes the
+                # global bit offsets, injects the EOF block, and emits
+                # the PLACED u32 contribution words — the per-block
+                # stream tensor and the XLA streams_to_u32 stage never
+                # exist.
+                prep = bs_pallas.emit_prep_pallas(
+                    sel["c64"], sel["scale_idx"] + 1, sel["dc_code"],
+                    sel["dc_bits"], eof=eof)
+            else:
+                streams, block_bits = bs_pallas.emit_pack_pallas(
+                    sel["c64"], sel["scale_idx"] + 1, sel["dc_code"],
+                    sel["dc_bits"])
         else:
             coefs = _frames_to_coefs(frames, width, height)
             sel = bs_ops.encode_frames_symbols(
@@ -159,19 +170,31 @@ def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
             streams, block_bits = bs_pallas.emit_pack_pallas(
                 sel["c"], sel["scale_idx"] + 1, sel["dc_code"],
                 sel["dc_bits"])
-        B = streams.shape[0]
-        eof_stream = jnp.zeros((B, 1, streams.shape[2]),
-                               jnp.int32).at[:, 0, 0].set(eof << 6)
-        streams = jnp.concatenate([streams, eof_stream], axis=1)
-        block_bits = jnp.concatenate(
-            [block_bits, jnp.full((B, 1), 10, jnp.int32)], axis=1)
-        goff = jnp.cumsum(block_bits, axis=1) - block_bits
+        B = frames.shape[0]
+        if prep is not None:
+            vals32, e0, block_bits, _total = prep
+        else:
+            eof_stream = jnp.zeros((B, 1, streams.shape[2]),
+                                   jnp.int32).at[:, 0, 0].set(eof << 6)
+            streams = jnp.concatenate([streams, eof_stream], axis=1)
+            block_bits = jnp.concatenate(
+                [block_bits, jnp.full((B, 1), 10, jnp.int32)], axis=1)
+            goff = jnp.cumsum(block_bits, axis=1) - block_bits
         overflow = jnp.any(block_bits > 16 * bitpack_ops.BLOCK_CAP_WORDS)
 
         def fast(_):
-            if packer in ("fused_pallas", "fused_gather", "fused_mxu"):
-                from .ops import bitpack_pallas
+            from .ops import bitpack_pallas
 
+            if prep is not None:
+                place_v = {
+                    "fused_gather":
+                        bitpack_pallas.place_vals_gather_pallas,
+                    "fused_mxu": bitpack_pallas.place_vals_mxu_pallas,
+                }[packer]
+                return place_v(vals32, e0,
+                               capacity_words=capacity_words).astype(
+                    jnp.uint32)
+            if packer in ("fused_pallas", "fused_gather", "fused_mxu"):
                 place = {
                     "fused_gather":
                         bitpack_pallas.place_streams_gather_pallas,

@@ -305,7 +305,21 @@ def place_streams_mxu_pallas(streams, goff, total_bits, *,
     B, NBe, bcap = streams.shape
     assert bcap == BCAP
     vals32, e0 = bp.streams_to_u32(streams, goff)         # (B, NBe, 9)
-    by = jnp.stack([(vals32 >> (8 * k)) & 0xFF for k in range(4)],
+    return place_vals_mxu_pallas(vals32, e0,
+                                 capacity_words=capacity_words,
+                                 interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("capacity_words", "interpret"))
+def place_vals_mxu_pallas(vals32, e0, *, capacity_words,
+                          interpret=False):
+    """MXU placement from precomputed placed-u32 contributions — the
+    emit kernel's fused prep (bs_pallas.emit_prep_pallas) feeds this
+    directly, skipping the XLA streams_to_u32 stage entirely."""
+    B, NBe, _ = vals32.shape
+    by = jnp.stack([(vals32.astype(jnp.uint32) >> (8 * k)) & 0xFF
+                    for k in range(4)],
                    axis=-1)                               # (B, NBe, 9, 4)
     vb = by.reshape(B, NBe, 36).astype(jnp.bfloat16)
 
@@ -376,7 +390,18 @@ def place_streams_gather_pallas(streams, goff, total_bits, *,
     assert bcap == BCAP
     # The same placed-u32 definition as the XLA scatter path.
     vals32, e0 = bp.streams_to_u32(streams, goff)         # (B, NBe, 9)
+    return place_vals_gather_pallas(vals32, e0,
+                                    capacity_words=capacity_words,
+                                    interpret=interpret)
 
+
+@functools.partial(jax.jit,
+                   static_argnames=("capacity_words", "interpret"))
+def place_vals_gather_pallas(vals32, e0, *, capacity_words,
+                             interpret=False):
+    """Gather placement from precomputed placed-u32 contributions (see
+    :func:`place_vals_mxu_pallas`)."""
+    B, NBe, _ = vals32.shape
     cap32 = (capacity_words + 1) // 2
     ntiles = -(-cap32 // 128)
     # Candidate block windows per output tile from the monotone offsets.

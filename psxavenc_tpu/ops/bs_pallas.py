@@ -554,6 +554,19 @@ def _emit_pack_kernel(scale_ref, c_ref, dcc_ref, dcb_ref, qcol_ref,
 
 def _emit_pack_chunk(s, c, dcc, dcb, q_col, rcp_base, streams_ref,
                      bbits_ref, ci, f=0):
+    acc, total2 = _emit_chunk_windows(s, c, dcc, dcb, q_col, rcp_base)
+    tp = c.shape[1]
+    bbits_ref[f, 0, ci * TILE:(ci + 1) * TILE] = total2[0]
+    from . import bitpack_pallas as bpk
+
+    w16 = jnp.stack([acc >> 16, acc & 0xFFFF], axis=1)  # (8, 2, tp)
+    streams_ref[f, :, ci * TILE:(ci + 1) * TILE] = \
+        w16.reshape(bpk.BCAP, tp).astype(jnp.int32)
+
+
+def _emit_chunk_windows(s, c, dcc, dcb, q_col, rcp_base):
+    """Quantize + Huffman-emit one TILE chunk into eight u32 MSB-first
+    window rows; returns (acc (8, tp) uint32, total_bits+2 (1, tp))."""
     tp = c.shape[1]
     dc_code = dcc.reshape(1, tp).astype(jnp.uint32)
     dc_bits = dcb.reshape(1, tp)
@@ -587,7 +600,6 @@ def _emit_pack_chunk(s, c, dcc, dcb, q_col, rcp_base, streams_ref,
     # --- in-block offsets: DC first, ACs in scan order, EOB last.
     offs = dc_bits + _cumsum_excl_cols(bits)       # (63, TILE)
     total = offs[62:63, :] + bits[62:63, :]        # after last AC
-    bbits_ref[f, 0, ci * TILE:(ci + 1) * TILE] = (total + 2)[0]
 
     # --- dense window packing into the (BCAP, TILE) per-block streams
     # (bit-identical to bitpack._pack_block_streams). Accumulate in
@@ -625,9 +637,7 @@ def _emit_pack_chunk(s, c, dcc, dcb, q_col, rcp_base, streams_ref,
                     code[i:i + 1].astype(jnp.uint32))
     acc = place(acc, total, jnp.full((1, tp), 2, jnp.int32),
                 jnp.full((1, tp), 0x2, jnp.uint32))
-    w16 = jnp.stack([acc >> 16, acc & 0xFFFF], axis=1)  # (8, 2, tp)
-    streams_ref[f, :, ci * TILE:(ci + 1) * TILE] = \
-        w16.reshape(bpk.BCAP, tp).astype(jnp.int32)
+    return acc, total + 2
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -713,3 +723,168 @@ def emit_pack_pallas(coefs_zz, scale, dc_code, dc_bits, *,
       dc_bits.astype(jnp.int32)[:, None], qcol, rcp)
     streams = jnp.transpose(streams, (0, 2, 1))[:, :NB]
     return streams, bbits[:, 0, :NB]
+
+
+def _cumsum_excl_lanes(x):
+    """Exclusive prefix sum along the lane axis of a (1, L) row via
+    Hillis-Steele log-rolls."""
+    L = x.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    k = 1
+    while k < L:
+        shifted = pltpu.roll(x, k, 1)
+        x = x + jnp.where(lane >= k, shifted, 0)
+        k *= 2
+    rolled = pltpu.roll(x, 1, 1)
+    return jnp.where(lane > 0, rolled, 0)
+
+
+def _emit_prep_kernel(scale_ref, c_ref, dcc_ref, dcb_ref, qcol_ref,
+                      rcp_ref, out_ref, acc_scr, *, nchunks, nb_true,
+                      eof):
+    """:func:`_emit_pack_kernel` + the whole placement prep fused.
+
+    Emission windows accumulate in VMEM scratch; the frame-global bit
+    offsets (exclusive lane cumsum of per-block totals, with the
+    codec's 10-bit EOF block injected at lane ``nb_true`` and pad lanes
+    masked to zero) then funnel-shift every block's stream to its final
+    sub-word alignment, LE-u16-pair packed — bit-identical to
+    bitpack.streams_to_u32 on this kernel's streams (asserted in
+    tests/test_bs_pallas.py), so the XLA prep stage (stream transpose,
+    contribution build, byte split) never runs.
+
+    Output rows: 0-8 the placed u32 contribution words, 9 the u32
+    offsets e0, 10 the raw per-block bit totals (pad lanes 0, EOF lane
+    0 — callers gate overflow on real blocks), 11 lane 0 = the frame's
+    total bits including the EOF code."""
+    b = pl.program_id(0)
+    s = scale_ref[b]
+    q_col = qcol_ref[...]
+    rcp_base = rcp_ref[...]
+    nb_pad = nchunks * TILE
+
+    bb_parts = []
+    for ci in range(nchunks):
+        acc, total2 = _emit_chunk_windows(
+            s, c_ref[0, 0:63, ci * TILE:(ci + 1) * TILE],
+            dcc_ref[0, 0, ci * TILE:(ci + 1) * TILE],
+            dcb_ref[0, 0, ci * TILE:(ci + 1) * TILE], q_col, rcp_base)
+        acc_scr[:, ci * TILE:(ci + 1) * TILE] = acc.astype(jnp.int32)
+        bb_parts.append(total2)
+    bb_raw = jnp.concatenate(bb_parts, axis=1)      # (1, nb_pad)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, nb_pad), 1)
+    bb_real = jnp.where(lane < nb_true, bb_raw, 0)
+    out_ref[0, 10, :] = bb_real[0]
+    bb = jnp.where(lane == nb_true, 10, bb_real)
+    goff = _cumsum_excl_lanes(bb)
+    out_ref[0, 11, :] = jnp.where(lane == 0, jnp.sum(bb), 0)[0]
+    out_ref[0, 9, :] = (goff >> 5)[0]
+
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, TILE), 0)
+    eof_top = jnp.uint32((eof << 6) << 16)
+    for ci in range(nchunks):
+        sl = slice(ci * TILE, (ci + 1) * TILE)
+        acc = acc_scr[:, sl].astype(jnp.uint32)
+        lch = lane[:, sl]
+        # Pad lanes carry nothing; the EOF lane is a lone 10-bit code
+        # in the top bits of stream word 0 (api.py's eof_stream).
+        acc = jnp.where(lch < nb_true, acc,
+                        jnp.where((lch == nb_true) & (row8 == 0),
+                                  eof_top, jnp.uint32(0)))
+        g = goff[:, sl]
+        sh = (g & 15).astype(jnp.uint32)
+        # LE-u16-pair windows t_k = s_{2k+1}<<16 | s_{2k} (u32 rot16 of
+        # the MSB-first acc), then per-16-bit-lane funnel by sh:
+        #   lo16 <- s_{2k} >> sh | s_{2k-1} << (16-sh)
+        #   hi16 <- s_{2k+1} >> sh | s_{2k} << (16-sh)
+        # which IS streams_to_u32's c-word pair at even word parity; at
+        # odd parity the pairing shifts one c-word down, i.e. row k
+        # pairs the previous row's hi16 with this row's lo16.
+        t = (acc << 16) | (acc >> 16)
+        tprev = jnp.where(row8 == 0, jnp.uint32(0), pltpu.roll(t, 1, 0))
+        lo_t = t & 0xFFFF
+        hi_t = t >> 16
+        hi_prev = tprev >> 16
+        v_lo = (lo_t >> sh) | ((hi_prev << (16 - sh)) & 0xFFFF)
+        v_hi = (hi_t >> sh) | ((lo_t << (16 - sh)) & 0xFFFF)
+        ve = v_lo | (v_hi << 16)                    # even-parity pairs
+        vh_prev = jnp.where(row8 == 0, jnp.uint32(0),
+                            pltpu.roll(v_hi, 1, 0))
+        vo = vh_prev | (v_lo << 16)                 # odd-parity pairs
+        par = ((g >> 4) & 1) == 1
+        out_ref[0, 0:8, sl] = jnp.where(par, vo, ve).astype(jnp.int32)
+        # Tail word: c_16 = s_15 << (16-sh); odd parity pairs it above
+        # c_15 (= row 7's hi16 funnel).
+        c_tail = (hi_t[7:8] << (16 - sh)) & 0xFFFF
+        v8 = jnp.where(par, v_hi[7:8] | (c_tail << 16), c_tail)
+        out_ref[0, 8, sl] = v8.astype(jnp.int32)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("eof", "interpret"))
+def emit_prep_pallas(coefs_zz, scale, dc_code, dc_bits, *, eof,
+                     interpret=False):
+    """Fused winner emission + per-block packing + placement prep.
+
+    Like :func:`emit_pack_pallas` but the kernel also computes the
+    frame-global bit offsets and emits the PLACED u32 contribution
+    words directly (see :func:`_emit_prep_kernel`), ready for
+    bitpack_pallas.place_vals_{gather,mxu}_pallas — neither the
+    per-block streams nor the XLA streams_to_u32 stage exist.
+
+    Returns (vals32 (B, NBe, 9) int32, e0 (B, NBe) int32, block_bits
+    (B, NB) int32, total_bits (B,) int32) with NBe = the lane-padded
+    block count INCLUDING the EOF block at index NB (pad lanes beyond
+    it carry zero contributions at monotone offsets).
+    """
+    B, P, NBC = coefs_zz.shape
+    assert P in (63, 64)
+    NB = dc_code.shape[1]
+    assert NB <= NBC
+    nb_pad = -(-NBC // TILE) * TILE
+    if nb_pad < NB + 1:          # the EOF block needs a pad lane
+        nb_pad += TILE
+    if nb_pad != NBC:
+        coefs_zz = jnp.pad(coefs_zz, ((0, 0), (0, 0),
+                                      (0, nb_pad - NBC)))
+    if nb_pad != NB:
+        dc_code = jnp.pad(dc_code, ((0, 0), (0, nb_pad - NB)))
+        dc_bits = jnp.pad(dc_bits, ((0, 0), (0, nb_pad - NB)))
+    ntiles = nb_pad // TILE
+
+    zz = bs_ops.ZAGZIG[1:]
+    qcol = jnp.asarray(bs_ops.QUANT_PSX[zz].astype(np.int32))[:, None]
+    rcp = jnp.asarray(
+        (1.0 / bs_ops.QUANT_PSX[zz].astype(np.float64)).astype(
+            np.float32))[:, None]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, P, nb_pad), lambda b, s: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, nb_pad), lambda b, s: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, nb_pad), lambda b, s: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((63, 1), lambda b, s: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((63, 1), lambda b, s: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, 16, nb_pad), lambda b, s: (b, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((8, nb_pad), jnp.int32)],
+    )
+    (out,) = pl.pallas_call(
+        functools.partial(_emit_prep_kernel, nchunks=ntiles,
+                          nb_true=NB, eof=int(eof)),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, 16, nb_pad), jnp.int32)],
+        interpret=interpret,
+    )(scale.astype(jnp.int32), coefs_zz,
+      dc_code.astype(jnp.int32)[:, None],
+      dc_bits.astype(jnp.int32)[:, None], qcol, rcp)
+    vals32 = jnp.transpose(out[:, 0:9, :], (0, 2, 1))
+    e0 = out[:, 9, :]
+    block_bits = out[:, 10, :NB]
+    total_bits = out[:, 11, 0]
+    return vals32, e0, block_bits, total_bits

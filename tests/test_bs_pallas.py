@@ -386,3 +386,77 @@ def test_dc_stage_pallas_interpret(codec):
                                        interpret=True)
     assert np.array_equal(np.asarray(got_b), np.asarray(want_b))
     assert np.array_equal(np.asarray(got_c), np.asarray(want_c))
+
+
+def test_emit_prep_pallas_interpret(monkeypatch):
+    """The emit kernel's fused placement prep (frame-global offsets via
+    lane cumsum, EOF block injection, funnel shift to sub-word
+    alignment, LE u16-pair packing) == the XLA flow (EOF append +
+    cumsum + bitpack.streams_to_u32 on the emit kernel's streams), and
+    the full fused_mxu/fused_gather api paths == the blocks path."""
+    import functools as ft
+
+    from psxavenc_tpu import api
+    from psxavenc_tpu.ops import bitpack as bp
+    from psxavenc_tpu.ops import bitpack_pallas as bpk
+
+    rng = np.random.default_rng(41)
+    B, NB = 2, bsp.TILE + 73
+    c = rng.integers(-900, 900, (B, 63, NB)).astype(np.int32)
+    scale = jnp.asarray(np.array([2, 31], np.int32))
+    dc_bits = rng.integers(2, 11, (B, NB)).astype(np.int32)
+    dc_code = (rng.integers(0, 1 << 10, (B, NB)).astype(np.int32)
+               & ((1 << dc_bits) - 1))
+    eof = 0x1FF
+
+    streams, bbits = bsp.emit_pack_pallas(
+        jnp.asarray(c), scale, jnp.asarray(dc_code),
+        jnp.asarray(dc_bits), interpret=True)
+    eof_stream = jnp.zeros((B, 1, streams.shape[2]),
+                           jnp.int32).at[:, 0, 0].set(eof << 6)
+    st = jnp.concatenate([streams, eof_stream], axis=1)
+    bb = jnp.concatenate([bbits, jnp.full((B, 1), 10, jnp.int32)],
+                         axis=1)
+    goff = jnp.cumsum(bb, axis=1) - bb
+    vals_ref, e0_ref = bp.streams_to_u32(st.astype(jnp.uint32), goff)
+
+    vals, e0, bb_got, total = bsp.emit_prep_pallas(
+        jnp.asarray(c), scale, jnp.asarray(dc_code),
+        jnp.asarray(dc_bits), eof=eof, interpret=True)
+    n1 = NB + 1
+    assert np.array_equal(np.asarray(vals)[:, :n1].astype(np.uint32),
+                          np.asarray(vals_ref))
+    assert np.array_equal(np.asarray(e0)[:, :n1], np.asarray(e0_ref))
+    assert (np.asarray(vals)[:, n1:] == 0).all()
+    assert np.array_equal(np.asarray(bb_got), np.asarray(bbits))
+    assert np.array_equal(np.asarray(total),
+                          np.asarray(goff[:, -1] + 10))
+
+    # Full api path: fused_mxu and fused_gather (prep + vals placement)
+    # vs the XLA blocks packer.
+    for fn in ("select_scale_pallas", "select_scale_pix_pallas",
+               "dc_stage_pallas", "emit_pack_pallas",
+               "emit_prep_pallas"):
+        monkeypatch.setattr(bsp, fn, ft.partial(getattr(bsp, fn),
+                                                interpret=True))
+    for fn in ("place_vals_mxu_pallas", "place_vals_gather_pallas"):
+        monkeypatch.setattr(bpk, fn, ft.partial(getattr(bpk, fn),
+                                                interpret=True))
+    W = H = 32
+    frames = rng.integers(0, 256, (B, W * H * 3 // 2)).astype(np.uint8)
+    budgets = np.array([2200, 900], np.int32)
+    cap = (2200 - 8) // 2
+    for codec in (bs_ops.BS_V2, bs_ops.BS_V3DC):
+        want = api.bs_encode_frames_packed(
+            jnp.asarray(frames), jnp.asarray(budgets), codec=codec,
+            width=W, height=H, capacity_words=cap, pallas_sweep=True,
+            packer="blocks")
+        for packer in ("fused_mxu", "fused_gather"):
+            got = api.bs_encode_frames_packed(
+                jnp.asarray(frames), jnp.asarray(budgets), codec=codec,
+                width=W, height=H, capacity_words=cap,
+                pallas_sweep=True, packer=packer)
+            for k in ("scale", "words", "total_bits", "nz_count"):
+                assert np.array_equal(np.asarray(want[k]),
+                                      np.asarray(got[k])), (codec,
+                                                            packer, k)
