@@ -217,7 +217,7 @@ def bs_encode_frames_packed(frames, budgets, *, codec, width, height,
             # overflows.
             nb_true = sel["dc_code"].shape[1]
             c = sel["c"] if "c" in sel else \
-                sel["c64"][:, :63, :nb_true]
+                sel["c64"][:, :63, :nb_true].astype(jnp.int32)
             codes_s, bits_s = bs_ops.emit_symbols_at(
                 c, sel["scale_idx"], sel["dc_bits"],
                 sel["dc_code"])

@@ -814,10 +814,28 @@ def rearrange_nv21_frame(frame, width, height):
 
 
 def rearrange_nv21_rows(frame, width, height):
-    """NV21 bytes -> (64, NB) int32 centered pixels in block-sample
+    """NV21 bytes -> (64, NB) INT8 centered pixels in block-sample
     layout: column n = block n in encode order, row 8r+c = sample (r, c)
     — the input form of the fused FDCT+select/emit kernels
     (ops/bs_pallas.py), one transpose away from
-    :func:`rearrange_nv21_frame`."""
-    blocks = rearrange_nv21_frame(frame, width, height)
-    return blocks.reshape(-1, 64).T
+    :func:`rearrange_nv21_frame`. Centered samples span exactly
+    [-128, 127], so the tensor rides HBM at 1 byte/sample (4x less
+    traffic than the i32 form; p - 128 == int8(p ^ 0x80) bitwise) and
+    the kernels widen in VMEM."""
+    mb_x, mb_y = width // 16, height // 16
+    y = frame[: width * height].reshape(height, width)
+    c = frame[width * height:].reshape(height // 2, width // 2, 2)
+    cr = c[:, :, 0]
+    cb = c[:, :, 1]
+
+    def blocks8(plane, bh, bw):
+        return plane.reshape(bh, 8, bw, 8).transpose(2, 0, 1, 3)
+
+    cr_b = blocks8(cr, mb_y, mb_x)
+    cb_b = blocks8(cb, mb_y, mb_x)
+    yb = y.reshape(mb_y, 2, 8, mb_x, 2, 8).transpose(3, 0, 1, 4, 2, 5)
+    y1, y2 = yb[:, :, 0, 0], yb[:, :, 0, 1]
+    y3, y4 = yb[:, :, 1, 0], yb[:, :, 1, 1]
+    blocks = jnp.stack([cr_b, cb_b, y1, y2, y3, y4], axis=2)
+    rows = blocks.reshape(mb_x * mb_y * 6, 64).T
+    return (rows.astype(jnp.uint8) ^ 0x80).astype(jnp.int8)

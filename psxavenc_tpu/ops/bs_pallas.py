@@ -62,7 +62,12 @@ def _fdct_frame_to_scratch(dst, pix_ref, nchunks, abs_dst=None, f=0):
         zz_rows.append(jnp.zeros_like(zz_rows[0]))
         for g in range(8):
             grp = jnp.concatenate(zz_rows[8 * g:8 * g + 8], axis=0)
-            dst[8 * g:8 * g + 8, ci * TILE:(ci + 1) * TILE] = grp
+            # int16 HBM form: |coef| <= 8192 for valid centered pixels
+            # (pass-1 weight-sum bound 16384 < the int16 wrap, pass-2
+            # bound 8192 — computed from the islow weight magnitudes),
+            # so the (B, 64, nb_pad) tensor rides at half the traffic.
+            dst[8 * g:8 * g + 8, ci * TILE:(ci + 1) * TILE] = \
+                grp.astype(dst.dtype)
             if abs_dst is not None:
                 abs_dst[8 * g:8 * g + 8, ci * TILE:(ci + 1) * TILE] = \
                     jnp.abs(grp)
@@ -396,9 +401,9 @@ def select_scale_pix_pallas(pix, thr_ac, *, interpret=False):
         functools.partial(_select_pix_kernel, nchunks=nchunks, fpp=fpp),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, 1, 128), jnp.int32),
-                   jax.ShapeDtypeStruct((B, 64, nb_pad), jnp.int32)],
+                   jax.ShapeDtypeStruct((B, 64, nb_pad), jnp.int16)],
         interpret=interpret,
-    )(jnp.asarray(thr_ac, jnp.int32), pix.astype(jnp.int32), qcol, rcp)
+    )(jnp.asarray(thr_ac, jnp.int32), pix, qcol, rcp)
     return out[:, 0, 0], out[:, 0, 1], out[:, 0, 2], coefs
 
 
@@ -566,7 +571,9 @@ def _emit_pack_chunk(s, c, dcc, dcb, q_col, rcp_base, streams_ref,
 
 def _emit_chunk_windows(s, c, dcc, dcb, q_col, rcp_base):
     """Quantize + Huffman-emit one TILE chunk into eight u32 MSB-first
-    window rows; returns (acc (8, tp) uint32, total_bits+2 (1, tp))."""
+    window rows; returns (acc (8, tp) uint32, total_bits+2 (1, tp)).
+    ``c`` may be the select kernel's int16 coefficients."""
+    c = c.astype(jnp.int32)
     tp = c.shape[1]
     dc_code = dcc.reshape(1, tp).astype(jnp.uint32)
     dc_bits = dcb.reshape(1, tp)
