@@ -57,7 +57,6 @@ def _kernel(units_ref, limits_ref, prev1_ref, prev2_ref,
     hi_lim = 0x7FFF >> shift_range
     lo_lim = -0x8000 >> shift_range
     sample_mask = 0xFFFF >> shift_range
-    half = 1 << (shift_range - 1)
 
     # --- min shift per filter (no quantization feedback: raw history).
     # The residual extrema are computed per filter (cheap, wide (28, B)
@@ -111,6 +110,14 @@ def _kernel(units_ref, limits_ref, prev1_ref, prev2_ref,
     k1c = jnp.stack(k1_rows)                     # (Cp, B)
     k2c = jnp.stack(k2_rows)
     shc = jnp.stack(sh_rows)
+    # Hoisted shift reformulation (exact for all shc in [0, shift_range],
+    # exhaustively checked): with r = shift_range - shc and
+    # bias = (1 << r) >> 1,
+    #   (((s - pred) << shc) + half) >> shift_range == (s - pred + bias) >> r
+    #   ((enc << shift_range) >> shc)               == enc << r
+    # so two of the recurrence's four shifts move out of the 28-step loop.
+    rc = shift_range - shc                       # (Cp, B), in [0, sr]
+    bias_c = (1 << rc) >> 1                      # 0 when rc == 0
 
     vbits = 4 if shift_range == 12 else 8
     per_word = 32 // vbits
@@ -120,34 +127,40 @@ def _kernel(units_ref, limits_ref, prev1_ref, prev2_ref,
     a2 = jnp.broadcast_to(p2[None, :], (Cp, B)) + jnp.int32(0)
     # Exact squared-error accumulates as (carry count, uint32 wraparound
     # sum): err^2 < 2^32 per step, so the 64-bit total is
-    # mse_hi * 2^32 + uint(mse_lo) with mse_hi bumped whenever the
-    # uint32 add wraps (acc_new <u sq). 8 ops/step vs 15 for the old
-    # explicit two-limb (hi*256+lo)^2 expansion — this loop is ~95% of
-    # the kernel, so op count here IS the throughput.
+    # mse_hi * 2^32 + uint(mse_lo - BIAS) with mse_hi bumped whenever
+    # the uint32 add wraps. mse_lo rides PERMANENTLY biased by 2^31
+    # (xor with the top bit == adding it mod 2^32, so the biased value
+    # obeys the same wraparound adds), which makes the carry check a
+    # single native signed compare against the previous accumulator —
+    # a+b wraps iff the unsigned result < a, and u<u compares are s<s
+    # compares of the biased values. No per-step xors at all; the bias
+    # folds into the init constant and cancels in the selection compare
+    # (both sides biased). This loop is ~95% of the kernel, so op count
+    # here IS the throughput.
     BIAS = jnp.int32(-0x80000000)     # signed<->unsigned compare bias
     mse_hi = jnp.zeros((Cp, B), jnp.int32)
-    mse_lo = jnp.zeros((Cp, B), jnp.int32)
+    mse_lo = jnp.full((Cp, B), BIAS, jnp.int32)
     words = [jnp.zeros((Cp, B), jnp.int32) for _ in range(n_words)]
     for i in range(N):
         s = raw[i][None, :]
         pred = (k1c * a1 + k2c * a2 + 32) >> 6
-        enc = (((s - pred) << shc) + half) >> shift_range
-        # Keep the sample SIGNED: enc << shift_range is already the
-        # sign-extended 16-bit reconstruction (the nibble masks on at
-        # pack time), skipping the mask + sign-extend dance.
+        enc = (s - pred + bias_c) >> rc
+        # Keep the sample SIGNED: enc << rc is already the sign-extended
+        # 16-bit reconstruction (the nibble masks on at pack time),
+        # skipping the mask + sign-extend dance.
         enc = jnp.clip(enc, lo_lim, hi_lim)
-        dec = jnp.clip(((enc << shift_range) >> shc) + pred,
-                       -0x8000, 0x7FFF)
+        dec = jnp.clip((enc << rc) + pred, -0x8000, 0x7FFF)
         d = dec - s
         sq = d * d       # |d| <= 65535: low 32 bits ARE d^2 exactly
-        acc = mse_lo + sq              # uint32 add (wraparound)
-        mse_hi = mse_hi + ((acc ^ BIAS) < (sq ^ BIAS)).astype(jnp.int32)
+        acc = mse_lo + sq              # uint32 add (wraparound, biased)
+        mse_hi = mse_hi + (acc < mse_lo).astype(jnp.int32)
         mse_lo = acc
         words[i // per_word] = words[i // per_word] \
             | ((enc & sample_mask) << (vbits * (i % per_word)))
         a2 = a1
         a1 = dec
-    mse_lo = mse_lo ^ BIAS             # bias once; folds compare signed
+    # mse_lo is already biased — signed compares below ARE the unsigned
+    # lexicographic (hi, lo) comparison.
 
     # --- fold rows 0..C-1 in candidate order (strictly-better updates).
     sel_hi, sel_lo = mse_hi[0], mse_lo[0]

@@ -18,11 +18,13 @@ from tests.conftest import rand_pcm
 
 
 @pytest.mark.slow
-def test_pallas_interpret_matches_xla():
+@pytest.mark.parametrize("shift_range", [12, 8])
+def test_pallas_interpret_matches_xla(shift_range):
     """CPU-CI coverage for the Mosaic ADPCM kernel: interpret mode with a
     reduced candidate unroll (filter_count=2 — the same kernel code path,
     fewer statically-unrolled candidates; the full fc=5 interpret compile
-    takes ~8 minutes, fc=2 ~40s). The production (5,12)/(4,12)/(4,8)
+    takes ~8 minutes, fc=2 ~40s). Both shift ranges run (4-bit XA/SPU and
+    8-bit XA pack/clip paths). The production (5,12)/(4,12)/(4,8)
     variants are compiled and cross-checked on real TPU by bench.py's
     _validate_pallas on every benchmark run."""
     B, T = 128, 2
@@ -37,21 +39,24 @@ def test_pallas_interpret_matches_xla():
     args = (jnp.asarray(samples), jnp.asarray(limits), jnp.asarray(p1),
             jnp.asarray(p2))
     h_ref, nib_ref, s1_ref, s2_ref = ops.encode_units_scan(
-        *args, filter_count=2, shift_range=12)
+        *args, filter_count=2, shift_range=shift_range)
     h, words, s1, s2 = pk.encode_units_pallas(
-        *args, filter_count=2, shift_range=12, interpret=True)
+        *args, filter_count=2, shift_range=shift_range, interpret=True)
     assert np.array_equal(np.asarray(h), np.asarray(h_ref))
     assert np.array_equal(np.asarray(s1), np.asarray(s1_ref))
     assert np.array_equal(np.asarray(s2), np.asarray(s2_ref))
     w = np.asarray(words).astype(np.uint32)
+    vbits = 4 if shift_range == 12 else 8
+    per_word = 32 // vbits
+    mask = (1 << vbits) - 1
     vals = np.zeros((B, T, 28), np.uint32)
     for k in range(w.shape[2]):
-        for m in range(8):
-            idx = 8 * k + m
+        for m in range(per_word):
+            idx = per_word * k + m
             if idx < 28:
-                vals[:, :, idx] = (w[:, :, k] >> (4 * m)) & 0xF
-    assert np.array_equal(vals & 0xF,
-                          np.asarray(nib_ref).astype(np.uint32) & 0xF)
+                vals[:, :, idx] = (w[:, :, k] >> (vbits * m)) & mask
+    assert np.array_equal(vals & mask,
+                          np.asarray(nib_ref).astype(np.uint32) & mask)
 
 
 @pytest.mark.skipif(jax.devices()[0].platform != "tpu",
