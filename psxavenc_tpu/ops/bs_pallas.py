@@ -205,16 +205,71 @@ def _select_kernel(thr_ref, c_ref, qcol_ref, rcp_ref, out_ref, seed_ref,
                   nchunks)
 
 
+def _fused_probe(load_abs, q_col, rcp_base, slm, sl, nchunks):
+    """One chunk pass computing the ladder LB total at scale ``slm`` AND
+    the exact (bits, nz) totals at scale ``sl`` — each |coefficient|
+    chunk is loaded once and all three reductions land in one
+    vector->scalar sync (the per-frame search is serialization-bound on
+    those syncs, not on the vector math)."""
+    d1 = q_col * slm
+    h1 = d1 >> 1
+    d = q_col * sl
+    half = d >> 1
+    rcp = rcp_base * (1.0 / sl.astype(jnp.float32))
+    lad = jnp.int32(0)
+    bits_tot = jnp.int32(0)
+    nz_tot = jnp.int32(0)
+    for ci in range(nchunks):
+        ca = load_abs(ci)
+        lad = lad + jnp.sum(ladder_lb(ca, d1, h1))
+        t = ca + half
+        q0 = (t.astype(jnp.float32) * rcp).astype(jnp.int32)
+        r = t - q0 * d
+        mag = q0 + (r >= d).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+        nz = mag != 0
+        pos = jax.lax.broadcasted_iota(jnp.int32, ca.shape, 0) + 1
+        nzpos = jnp.where(nz, pos, 0)
+        prev = _cummax_cols(nzpos)
+        prev_excl = jnp.where(pos > 1, pltpu.roll(prev, 1, 0), 0)
+        run = pos - prev_excl - 1
+        bits = jnp.where(nz, bs_ops.ac_bits_closed_form(run, mag), 0)
+        bits_tot = bits_tot + jnp.sum(bits)
+        nz_tot = nz_tot + jnp.sum(nz.astype(jnp.int32))
+    return lad, bits_tot, nz_tot
+
+
 def _search_store(thr, q_col, rcp_base, load_abs, out_ref, seed_ref,
                   nchunks, orow=0):
     """The seeded LB search + exact first-fit walk shared by the coefs-
     and pixel-input select kernels (see :func:`_select_kernel`);
-    ``orow`` is the output-block row (frame within a fat grid step)."""
+    ``orow`` is the output-block row (frame within a fat grid step).
+
+    Speculative fast path: consecutive frames usually choose the SAME
+    scale, so one fused pass evaluates the ladder LB at seed-1 and the
+    exact totals at seed (single vector->scalar sync). When LB(seed-1)
+    is infeasible (proving, by LB monotonicity, that every scale below
+    seed cannot fit) and the exact totals at seed fit, the answer is
+    seed and both while-loops below run zero iterations. A miss falls
+    back to the bisect/gallop + exact walk with the bracket already
+    tightened by the fused pass's ladder eval — never to a wrong
+    answer (the bracket invariant is maintained) and at worst ~one
+    extra exact eval over the unspeculated search."""
+    seed = seed_ref[0]
+    sl = jnp.where((seed >= 1) & (seed <= 63), seed, jnp.int32(32))
+    slm = jnp.maximum(sl - 1, 1)
+    lad_lo, ebits, enz = _fused_probe(load_abs, q_col, rcp_base, slm,
+                                      sl, nchunks)
+    below = lad_lo > thr                # scales <= sl-1 provably unfit
+    efit = ebits <= thr
+    hit = (below | (sl == 1)) & efit
+
     # --- lower_bound(feasible) over scales [1, 63]; 64 = none feasible.
     # Bracket invariant: LB(lo) infeasible (0 = sentinel), LB(hi)
-    # feasible (64 = sentinel).
-    seed = seed_ref[0]
-    probe0 = jnp.where((seed >= 1) & (seed <= 63), seed, jnp.int32(32))
+    # feasible (64 = sentinel). On a hit the bracket starts converged
+    # (start = sl); on a miss it starts with the slm eval applied.
+    lo0 = jnp.where(hit, sl - 1, jnp.where(below, slm, jnp.int32(0)))
+    hi0 = jnp.where(hit, sl, jnp.where(below, jnp.int32(64), slm))
+    probe0 = jnp.clip(jnp.where(below, sl, slm - 1), lo0 + 1, hi0 - 1)
 
     def bs_cond(st):
         lo, hi, _, _ = st
@@ -235,13 +290,18 @@ def _search_store(thr, q_col, rcp_base, load_abs, out_ref, seed_ref,
         return (lo, hi, nxt, step)
 
     _, start, _, _ = jax.lax.while_loop(
-        bs_cond, bs_body,
-        (jnp.int32(0), jnp.int32(64), probe0, jnp.int32(1)))
+        bs_cond, bs_body, (lo0, hi0, probe0, jnp.int32(1)))
     # 64 (unfittable) is not probeable; seed the next frame at 63 so it
     # confirms with one eval instead of falling back to cold bisection.
     seed_ref[0] = jnp.minimum(start, 63)
 
-    # --- exact first-fit walk from the LB start.
+    # --- exact first-fit walk from the LB start. The fused pass's
+    # exact eval at sl is reused: on a hit the loop starts found; when
+    # it failed and the walk would begin at sl, skip straight to sl+1.
+    s0 = jnp.where(hit, sl + 1,
+                   jnp.where(jnp.logical_not(efit) & (start == sl),
+                             sl + 1, start))
+
     def sw_cond(st):
         s, found, _, _ = st
         return jnp.logical_not(found) & (s < 64)
@@ -255,7 +315,7 @@ def _search_store(thr, q_col, rcp_base, load_abs, out_ref, seed_ref,
 
     s_end, found, bits, nz = jax.lax.while_loop(
         sw_cond, sw_body,
-        (start, jnp.bool_(False), jnp.int32(0), jnp.int32(0)))
+        (s0, hit, jnp.where(hit, ebits, 0), jnp.where(hit, enz, 0)))
     scale = jnp.where(found, s_end - 1, jnp.int32(64))
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
