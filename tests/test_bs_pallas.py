@@ -107,6 +107,37 @@ def test_select_seed_gallop_adversarial_interpret():
         assert np.array_equal(np.asarray(g), w), (name, np.asarray(g), w)
 
 
+def test_select_speculative_hit_and_drift_interpret():
+    """The speculative fused probe (one pass evaluating LB(seed-1) +
+    exact(seed)) must stay exact on its designed-for sequences: runs of
+    identical frames (every frame after the first is a speculation HIT),
+    then +/-1 scale drifts (near-miss seeds), then a sharp jump."""
+    rng = np.random.default_rng(23)
+    base = rng.integers(-3000, 3000, (1, 63, bsp.TILE)).astype(np.int32)
+    B = 10
+    c = np.repeat(base, B, axis=0)
+    bits_ps, nz_ps = _xla_all_scales(jnp.asarray(c))
+    row = bits_ps[0]
+    # Threshold hitting scale ~20 exactly for frames 0..5 (hit run),
+    # then one frame whose answer is one scale HIGHER (thr just below
+    # row[19]), one LOWER (thr at row[18] if that precedes), and a jump
+    # to scale 1 and back.
+    s_mid = 20
+    thr = np.empty(B, np.int32)
+    thr[:6] = row[s_mid - 1]
+    thr[6] = row[s_mid - 1] - 1          # forces a walk past the seed
+    thr[7] = max(row[: s_mid - 1].min(), row[s_mid - 1])  # may fit earlier
+    thr[8] = row.max()                    # scale 1 region
+    thr[9] = row[s_mid - 1]               # back near the old seed
+    want = _first_fit(bits_ps, nz_ps, thr)
+    got = bsp.select_scale_pallas(jnp.asarray(c), jnp.asarray(thr),
+                                  interpret=True)
+    for name, g, w in zip(("scale", "bits", "nz"), got, want):
+        assert np.array_equal(np.asarray(g), w), (name, np.asarray(g), w)
+    # The hit run really does choose the same scale each time.
+    assert (np.asarray(got[0])[:6] == np.asarray(got[0])[0]).all()
+
+
 def test_ladder_lower_bound_properties():
     """The in-kernel ladder LB never exceeds the exact totals and is
     monotone non-increasing in scale (the two facts that make the
