@@ -38,6 +38,28 @@ class BsFrameEncoder:
 
         self._devices = jax.devices()
         self._sharded_steps = {}
+        # Compute tier: the device pipeline on TPU; the native C++
+        # frame encoder (psxn_bs_encode_frames, bit-identical) on
+        # CPU-only hosts, where the XLA path is dispatch-bound (~3 fps
+        # vs the native tier's ~300 on one core — the video analog of
+        # the native ADPCM tier). PSXAVENC_VIDEO_TIER=device|native
+        # overrides.
+        import os
+
+        tier = os.environ.get("PSXAVENC_VIDEO_TIER", "auto")
+        if tier == "auto":
+            tier = "device" if self._devices[0].platform == "tpu" \
+                else "native"
+        if tier == "native":
+            try:
+                from .. import native as _native
+                self._native = _native
+            except Exception:  # noqa: BLE001 — no compiler: device tier
+                tier = "device"
+                self._native = None
+        else:
+            self._native = None
+        self._tier = tier
         # One worker thread stages the NEXT batch's host prep + host->
         # device upload + dispatch while the main thread fetches the
         # current batch's payload: H2D(k+1) overlaps compute(k)+D2H(k)
@@ -102,6 +124,10 @@ class BsFrameEncoder:
         chunk = 128 if n >= 96 else (32 if n >= 32 else self.CHUNK)
         # Chunk granularity must divide over the mesh.
         gran = -(-chunk // n_dev) * n_dev if n_dev > 1 else chunk
+        if self._tier == "native":
+            # No compiled shapes to bucket and no pad-frame waste: one
+            # call, frames fan out over host threads inside.
+            gran = n
 
         def launch(base):
             ids = list(range(base, min(base + gran, n)))
@@ -111,7 +137,11 @@ class BsFrameEncoder:
             budgets = np.array(
                 [frame_max_sizes[i] for i in ids]
                 + [frame_max_sizes[ids[-1]]] * pad, np.int32)
-            if n_dev > 1:
+            if self._tier == "native":
+                out = self._native.bs_encode_frames(
+                    fr, budgets, codec=self.codec, width=self.width,
+                    height=self.height, capacity_words=cap_words)
+            elif n_dev > 1:
                 out = self._sharded_step(cap_words)(fr, budgets)
             else:
                 out = api.bs_encode_frames_packed(
@@ -166,12 +196,18 @@ class BsFrameEncoder:
         gran = 128 if n >= 96 else (32 if n > self.CHUNK else self.CHUNK)
         gran = max(gran, -(-n // n_dev) * n_dev) if n_dev > 1 else gran
         gran = -(-gran // n_dev) * n_dev if n_dev > 1 else gran
+        if self._tier == "native":
+            gran = n                     # no shape buckets, no pad waste
         pad = gran - n
         fr = np.stack([np.asarray(f) for f in frames_nv21]
                       + [np.asarray(frames_nv21[-1])] * pad)
         budgets = np.array(list(frame_max_sizes)
                            + [frame_max_sizes[-1]] * pad, np.int32)
-        if n_dev > 1:
+        if self._tier == "native":
+            out = self._native.bs_encode_frames(
+                fr, budgets, codec=self.codec, width=self.width,
+                height=self.height, capacity_words=cap_words)
+        elif n_dev > 1:
             out = self._sharded_step(cap_words)(fr, budgets)
         else:
             out = api.bs_encode_frames_packed(

@@ -26,7 +26,7 @@ def _build():
     with tempfile.TemporaryDirectory() as td:
         tmp = pathlib.Path(td) / out.name
         subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
              str(_SRC), "-o", str(tmp)],
             check=True, capture_output=True)
         os.replace(tmp, out)
@@ -53,6 +53,11 @@ _lib.psxn_bs_pack.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
 _lib.psxn_adpcm_encode_units.restype = None
 _lib.psxn_adpcm_encode_units.argtypes = [ctypes.c_void_p] * 7 + [
     ctypes.c_long, ctypes.c_long, ctypes.c_int, ctypes.c_int]
+_lib.psxn_bs_encode_frames.restype = None
+_lib.psxn_bs_encode_frames.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_int,
+    ctypes.c_int, ctypes.c_int, ctypes.c_long, ctypes.c_int,
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
 
 SECTOR_MODE1 = 0
 SECTOR_MODE2_FORM1 = 1
@@ -120,6 +125,35 @@ def adpcm_encode_units(units, limits, prev1, prev2, filter_count,
         _ptr(nibbles), _ptr(s1), _ptr(s2), B, T, filter_count,
         shift_range)
     return headers, nibbles, s1, s2
+
+
+def bs_encode_frames(frames, budgets, *, codec, width, height,
+                     capacity_words, n_threads=None):
+    """Host BS video frame encoder (no-TPU fallback tier).
+
+    Args/outputs mirror api.bs_encode_frames_packed: frames (B, w*h*3/2)
+    uint8 NV21, budgets (B,) int32 byte budgets; returns a dict of numpy
+    arrays {scale (B,), words (B, capacity_words) uint16, total_bits
+    (B,), nz_count (B,)} — bit-identical to the device pipeline
+    (tests/test_native_video.py cross-checks). scale 64 = unfittable
+    (callers raise, mdec.c:723 parity). Frames fan out over host
+    threads (the v3 DC chain is per-frame state, so frames stay
+    independent)."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    B = frames.shape[0]
+    budgets = np.ascontiguousarray(budgets, dtype=np.int32)
+    words = np.zeros((B, capacity_words), np.uint16)
+    scale = np.zeros(B, np.int32)
+    total_bits = np.zeros(B, np.int32)
+    nz = np.zeros(B, np.int32)
+    if n_threads is None:
+        n_threads = min(B, os.cpu_count() or 1)
+    _lib.psxn_bs_encode_frames(
+        _ptr(frames), _ptr(budgets), B, width, height, int(codec),
+        capacity_words, int(n_threads), _ptr(words), _ptr(scale),
+        _ptr(total_bits), _ptr(nz))
+    return {"scale": scale, "words": words, "total_bits": total_bits,
+            "nz_count": nz}
 
 
 def bs_pack(codes, lens, out_size):

@@ -9,6 +9,9 @@
 #include <cstdint>
 #include <cstring>
 
+#include <thread>
+#include <vector>
+
 extern "C" {
 
 // ---------------------------------------------------------------- EDC CRC32
@@ -326,6 +329,503 @@ long psxn_bs_pack(const uint32_t *codes, const uint8_t *lens, long n,
         out[bytes_used++] = (uint8_t)(value >> 8);
     }
     return bytes_used;
+}
+
+// --------------------------------------------------- BS frame encoder (host)
+
+// Host fallback tier for the whole BS video frame pipeline (the video
+// analog of psxn_adpcm_encode_units): NV21 pixels in, packed bitstream
+// words + scale/total_bits/nz metadata out, bit-identical to the device
+// pipeline (api.bs_encode_frames_packed). The XLA formulation is
+// dispatch-bound off-TPU (~3 fps on this host vs the reference binary's
+// ~150); this plain scalar pipeline exceeds the reference by computing
+// the FDCT once per frame and proving scales unfit with the same
+// monotone ladder lower bound the Mosaic select kernel uses
+// (ops/bs_pallas.py::ladder_lb) instead of re-encoding per retry
+// (mdec.c:663-723 re-runs the whole frame per scale).
+
+// PSX default quantization matrix (mdec.c:189-198) and inverse zigzag
+// (mdec.c:213-222) — format constants.
+static const int32_t bs_quant[64] = {
+    2, 16, 19, 22, 26, 27, 29, 34, 16, 16, 22, 24, 27, 29, 34, 37,
+    19, 22, 26, 27, 29, 34, 34, 38, 22, 22, 26, 27, 29, 34, 37, 40,
+    22, 26, 27, 29, 32, 35, 40, 48, 26, 27, 29, 32, 35, 40, 48, 58,
+    26, 27, 29, 34, 38, 46, 56, 69, 27, 29, 35, 38, 46, 56, 69, 83,
+};
+static const uint8_t bs_zagzig[64] = {
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+};
+
+// MDEC AC Huffman table: {run, |level|, prefix_bits, prefix_value}
+// (the same code set as ops/bs.py AC_TABLE / mdec.c:39-157 — the spec).
+struct bs_ac_entry { uint8_t run, level, pbits; uint16_t pval; };
+static const bs_ac_entry bs_ac_table[] = {
+    {0, 1, 2, 0x3}, {1, 1, 3, 0x3}, {0, 2, 4, 0x4}, {2, 1, 4, 0x5},
+    {0, 3, 5, 0x05}, {4, 1, 5, 0x06}, {3, 1, 5, 0x07},
+    {7, 1, 6, 0x04}, {6, 1, 6, 0x05}, {1, 2, 6, 0x06}, {5, 1, 6, 0x07},
+    {2, 2, 7, 0x04}, {9, 1, 7, 0x05}, {0, 4, 7, 0x06}, {8, 1, 7, 0x07},
+    {13, 1, 8, 0x20}, {0, 6, 8, 0x21}, {12, 1, 8, 0x22},
+    {11, 1, 8, 0x23}, {3, 2, 8, 0x24}, {1, 3, 8, 0x25},
+    {0, 5, 8, 0x26}, {10, 1, 8, 0x27},
+    {16, 1, 10, 0x008}, {5, 2, 10, 0x009}, {0, 7, 10, 0x00A},
+    {2, 3, 10, 0x00B}, {1, 4, 10, 0x00C}, {15, 1, 10, 0x00D},
+    {14, 1, 10, 0x00E}, {4, 2, 10, 0x00F},
+    {0, 11, 12, 0x010}, {8, 2, 12, 0x011}, {4, 3, 12, 0x012},
+    {0, 10, 12, 0x013}, {2, 4, 12, 0x014}, {7, 2, 12, 0x015},
+    {21, 1, 12, 0x016}, {20, 1, 12, 0x017}, {0, 9, 12, 0x018},
+    {19, 1, 12, 0x019}, {18, 1, 12, 0x01A}, {1, 5, 12, 0x01B},
+    {3, 3, 12, 0x01C}, {0, 8, 12, 0x01D}, {6, 2, 12, 0x01E},
+    {17, 1, 12, 0x01F},
+    {10, 2, 13, 0x0010}, {9, 2, 13, 0x0011}, {5, 3, 13, 0x0012},
+    {3, 4, 13, 0x0013}, {2, 5, 13, 0x0014}, {1, 7, 13, 0x0015},
+    {1, 6, 13, 0x0016}, {0, 15, 13, 0x0017}, {0, 14, 13, 0x0018},
+    {0, 13, 13, 0x0019}, {0, 12, 13, 0x001A}, {26, 1, 13, 0x001B},
+    {25, 1, 13, 0x001C}, {24, 1, 13, 0x001D}, {23, 1, 13, 0x001E},
+    {22, 1, 13, 0x001F},
+    {0, 31, 14, 0x0010}, {0, 30, 14, 0x0011}, {0, 29, 14, 0x0012},
+    {0, 28, 14, 0x0013}, {0, 27, 14, 0x0014}, {0, 26, 14, 0x0015},
+    {0, 25, 14, 0x0016}, {0, 24, 14, 0x0017}, {0, 23, 14, 0x0018},
+    {0, 22, 14, 0x0019}, {0, 21, 14, 0x001A}, {0, 20, 14, 0x001B},
+    {0, 19, 14, 0x001C}, {0, 18, 14, 0x001D}, {0, 17, 14, 0x001E},
+    {0, 16, 14, 0x001F},
+    {0, 40, 15, 0x0010}, {0, 39, 15, 0x0011}, {0, 38, 15, 0x0012},
+    {0, 37, 15, 0x0013}, {0, 36, 15, 0x0014}, {0, 35, 15, 0x0015},
+    {0, 34, 15, 0x0016}, {0, 33, 15, 0x0017}, {0, 32, 15, 0x0018},
+    {1, 14, 15, 0x0019}, {1, 13, 15, 0x001A}, {1, 12, 15, 0x001B},
+    {1, 11, 15, 0x001C}, {1, 10, 15, 0x001D}, {1, 9, 15, 0x001E},
+    {1, 8, 15, 0x001F},
+    {1, 18, 16, 0x0010}, {1, 17, 16, 0x0011}, {1, 16, 16, 0x0012},
+    {1, 15, 16, 0x0013}, {6, 3, 16, 0x0014}, {16, 2, 16, 0x0015},
+    {15, 2, 16, 0x0016}, {14, 2, 16, 0x0017}, {13, 2, 16, 0x0018},
+    {12, 2, 16, 0x0019}, {11, 2, 16, 0x001A}, {31, 1, 16, 0x001B},
+    {30, 1, 16, 0x001C}, {29, 1, 16, 0x001D}, {28, 1, 16, 0x001E},
+    {27, 1, 16, 0x001F},
+};
+
+// BS v3 DC delta prefix trees (mdec.c:159-187): {prefix_bits,
+// prefix_value, delta_bits}.
+struct bs_dc_entry { uint8_t pbits; uint8_t pval; uint8_t dbits; };
+static const bs_dc_entry bs_dc_c[8] = {
+    {2, 0x1, 0}, {2, 0x2, 1}, {3, 0x6, 2}, {4, 0xE, 3},
+    {5, 0x1E, 4}, {6, 0x3E, 5}, {7, 0x7E, 6}, {8, 0xFE, 7}};
+static const bs_dc_entry bs_dc_y[8] = {
+    {2, 0x0, 0}, {2, 0x1, 1}, {3, 0x5, 2}, {3, 0x6, 3},
+    {4, 0xE, 4}, {5, 0x1E, 5}, {6, 0x3E, 6}, {7, 0x7E, 7}};
+
+// 64K-entry AC (bits, code) LUTs keyed by (run<<10)|(level&0x3FF) and
+// (2, 512) DC LUTs per tree — the host mirrors of ops/bs.py's
+// _build_ac_luts/_build_dc_luts (gathers are cheap on CPU; the closed
+// forms exist for the TPU, where they replace these same tables).
+static uint8_t bs_ac_bits[0x10000];
+static uint32_t bs_ac_code[0x10000];
+static uint8_t bs_dc_bits[2][512];
+static uint32_t bs_dc_code[2][512];
+static bool bs_luts_ready = false;
+
+static void bs_luts_init() {
+    for (uint32_t key = 0; key < 0x10000; key++) {
+        bs_ac_bits[key] = 22;                 // escape: 000001 + raw 16
+        bs_ac_code[key] = (1u << 16) | key;
+    }
+    for (const bs_ac_entry &e : bs_ac_table) {
+        for (int sign = 0; sign < 2; sign++) {
+            int32_t val = sign ? -(int32_t)e.level : (int32_t)e.level;
+            uint32_t key = ((uint32_t)e.run << 10) | ((uint32_t)val & 0x3FF);
+            bs_ac_bits[key] = (uint8_t)(e.pbits + 1);
+            bs_ac_code[key] = ((uint32_t)e.pval << 1) | (uint32_t)sign;
+        }
+    }
+    for (int idx = 0; idx < 2; idx++) {       // 0 = chroma tree, 1 = luma
+        const bs_dc_entry *tab = idx ? bs_dc_y : bs_dc_c;
+        bs_dc_bits[idx][0] = idx ? 3 : 2;     // delta 0 special
+        bs_dc_code[idx][0] = idx ? 4 : 0;
+        for (int k = 0; k < 8; k++) {
+            int db = tab[k].dbits;
+            int n_bits = tab[k].pbits + 1 + db;
+            int pos_offset = 1 << db;
+            int neg_offset = pos_offset * 2 - 1;
+            for (int j = 0; j < (1 << db); j++) {
+                int pos = (j + pos_offset) & 0x1FF;
+                int neg = (j - neg_offset) & 0x1FF;
+                uint32_t code = ((uint32_t)tab[k].pval << (db + 1)) |
+                                (1u << db) | (uint32_t)j;
+                bs_dc_bits[idx][pos] = (uint8_t)n_bits;
+                bs_dc_code[idx][pos] = code;
+                bs_dc_bits[idx][neg] = (uint8_t)n_bits;
+                bs_dc_code[idx][neg] =
+                    ((uint32_t)tab[k].pval << (db + 1)) | (uint32_t)j;
+            }
+        }
+        // Unmapped delta -256 (reference UB, PARITY.md): -255's code.
+        bs_dc_bits[idx][256] = bs_dc_bits[idx][257];
+        bs_dc_code[idx][256] = bs_dc_code[idx][257];
+    }
+    bs_luts_ready = true;
+}
+
+// islow FDCT, the same public Loeffler/Ligtenberg/Moshovitz algorithm as
+// ops/fdct.py (FFmpeg jfdctint variant: CONST_BITS=13, PASS1_BITS=4,
+// int16 pass-1 store) — bit-identical to the JAX implementation.
+#define BS_CONST_BITS 13
+#define BS_PASS1_BITS 4
+
+static inline int32_t bs_descale(int32_t x, int n) {
+    return (x + (1 << (n - 1))) >> n;
+}
+static inline int32_t bs_wrap16(int32_t x) {
+    return (int32_t)(int16_t)(uint16_t)(uint32_t)x;
+}
+static inline int32_t bs_shl(int32_t x, int n) {
+    return (int32_t)((uint32_t)x << n);   // defined for negative x too
+}
+
+static void bs_fdct_pass(int32_t *v, int stride, bool pass1) {
+    int32_t d0 = v[0], d1 = v[stride], d2 = v[2 * stride],
+            d3 = v[3 * stride], d4 = v[4 * stride], d5 = v[5 * stride],
+            d6 = v[6 * stride], d7 = v[7 * stride];
+    const int descale_bits =
+        pass1 ? BS_CONST_BITS - BS_PASS1_BITS : BS_CONST_BITS + BS_PASS1_BITS;
+
+    int32_t tmp0 = d0 + d7, tmp7 = d0 - d7;
+    int32_t tmp1 = d1 + d6, tmp6 = d1 - d6;
+    int32_t tmp2 = d2 + d5, tmp5 = d2 - d5;
+    int32_t tmp3 = d3 + d4, tmp4 = d3 - d4;
+    int32_t tmp10 = tmp0 + tmp3, tmp13 = tmp0 - tmp3;
+    int32_t tmp11 = tmp1 + tmp2, tmp12 = tmp1 - tmp2;
+
+    int32_t out0, out4;
+    if (pass1) {
+        out0 = bs_shl(tmp10 + tmp11, BS_PASS1_BITS);
+        out4 = bs_shl(tmp10 - tmp11, BS_PASS1_BITS);
+    } else {
+        out0 = bs_descale(tmp10 + tmp11, BS_PASS1_BITS);
+        out4 = bs_descale(tmp10 - tmp11, BS_PASS1_BITS);
+    }
+    int32_t z1 = (tmp12 + tmp13) * 4433;           // FIX_0_541196100
+    int32_t out2 = bs_descale(z1 + tmp13 * 6270, descale_bits);
+    int32_t out6 = bs_descale(z1 - tmp12 * 15137, descale_bits);
+
+    z1 = tmp4 + tmp7;
+    int32_t z2 = tmp5 + tmp6;
+    int32_t z3 = tmp4 + tmp6;
+    int32_t z4 = tmp5 + tmp7;
+    int32_t z5 = (z3 + z4) * 9633;                 // FIX_1_175875602
+
+    int32_t t4 = tmp4 * 2446;                      // FIX_0_298631336
+    int32_t t5 = tmp5 * 16819;                     // FIX_2_053119869
+    int32_t t6 = tmp6 * 25172;                     // FIX_3_072711026
+    int32_t t7 = tmp7 * 12299;                     // FIX_1_501321110
+    z1 = z1 * -7373;                               // -FIX_0_899976223
+    z2 = z2 * -20995;                              // -FIX_2_562915447
+    z3 = z3 * -16069 + z5;                         // -FIX_1_961570560
+    z4 = z4 * -3196 + z5;                          // -FIX_0_390180644
+
+    int32_t out7 = bs_descale(t4 + z1 + z3, descale_bits);
+    int32_t out5 = bs_descale(t5 + z2 + z4, descale_bits);
+    int32_t out3 = bs_descale(t6 + z2 + z3, descale_bits);
+    int32_t out1 = bs_descale(t7 + z1 + z4, descale_bits);
+
+    if (pass1) {
+        // The reference's pass-1 store is an int16 array; replicate the
+        // wrap so out-of-range inputs degrade identically.
+        v[0] = bs_wrap16(out0); v[stride] = bs_wrap16(out1);
+        v[2 * stride] = bs_wrap16(out2); v[3 * stride] = bs_wrap16(out3);
+        v[4 * stride] = bs_wrap16(out4); v[5 * stride] = bs_wrap16(out5);
+        v[6 * stride] = bs_wrap16(out6); v[7 * stride] = bs_wrap16(out7);
+    } else {
+        v[0] = out0; v[stride] = out1;
+        v[2 * stride] = out2; v[3 * stride] = out3;
+        v[4 * stride] = out4; v[5 * stride] = out5;
+        v[6 * stride] = out6; v[7 * stride] = out7;
+    }
+}
+
+static void bs_fdct_block(int32_t d[64]) {
+    for (int r = 0; r < 8; r++) bs_fdct_pass(d + 8 * r, 1, true);
+    for (int c = 0; c < 8; c++) bs_fdct_pass(d + c, 8, false);
+}
+
+// round(n/d) half away from zero, exact integers (mdec.c:438).
+static inline int32_t bs_div_rounded(int32_t n, int32_t d) {
+    int32_t an = n < 0 ? -n : n;
+    int32_t q = (an + (d >> 1)) / d;
+    return n < 0 ? -q : q;
+}
+
+// int16 wrap then clamp to [-0x200, +0x1FE] (mdec.c:257-267).
+static inline int32_t bs_clamp_coeff(int32_t q) {
+    int32_t w = bs_wrap16(q);
+    if (w < -0x200) w = -0x200;
+    if (w > 0x1FE) w = 0x1FE;
+    return w;
+}
+
+// Monotone ladder lower bound on a frame's AC bit total at scale s —
+// the scalar transcription of ops/bs_pallas.py::ladder_lb (validity,
+// safety and monotonicity proofs + pins live there/tests). Early-aborts
+// once the running total exceeds thr (only feasibility is consumed).
+static bool bs_lb_feasible(const int16_t *czz, long nb, int s, long thr) {
+    int32_t t1[63], t2[63], t3[63], t4[63], t5[63], t7[63];
+    for (int p = 0; p < 63; p++) {
+        int32_t d = bs_quant[bs_zagzig[p + 1]] * s;
+        int32_t half = d >> 1;
+        t1[p] = d - half; t2[p] = 2 * d - half; t3[p] = 3 * d - half;
+        t4[p] = 4 * d - half; t5[p] = 5 * d - half; t7[p] = 7 * d - half;
+    }
+    long total = 0;
+    for (long n = 0; n < nb; n++) {
+        const int16_t *c = czz + n * 64;
+        int run = 0;
+        for (int p = 0; p < 63; p++) {
+            int32_t a = c[p + 1];
+            a = a < 0 ? -a : a;
+            if (a < t1[p]) { run++; continue; }
+            int c2 = a >= t2[p], c3 = a >= t3[p];
+            int lb = 3 + 2 * c2 + c3 + 2 * (a >= t4[p]) + (a >= t5[p])
+                     + 2 * (a >= t7[p]);
+            int g = (run < 3 ? run : 3) + (run >= 5) + (run >= 8)
+                    + (run >= 10) + 2 * (run >= 14) + (run >= 17);
+            int bonus = (run >= 1 ? c2 + c3 : 0) + g;
+            total += lb + bonus;
+            run = 0;
+        }
+        if (total > thr) return false;
+    }
+    return total <= thr;
+}
+
+// Exact AC bit total at scale s, early-aborting once past thr (an
+// aborted call's return still proves unfitness; nz is only meaningful
+// when the returned total <= thr, i.e. no abort fired).
+static long bs_exact_ac_bits(const int16_t *czz, long nb, int s, long thr,
+                             long *nz_out) {
+    int32_t dv[63], hv[63];
+    for (int p = 0; p < 63; p++) {
+        dv[p] = bs_quant[bs_zagzig[p + 1]] * s;
+        hv[p] = dv[p] >> 1;
+    }
+    long total = 0, nz = 0;
+    for (long n = 0; n < nb; n++) {
+        const int16_t *c = czz + n * 64;
+        int run = 0;
+        for (int p = 0; p < 63; p++) {
+            int32_t a = c[p + 1];
+            a = a < 0 ? -a : a;
+            int32_t t = a + hv[p];
+            if (t < dv[p]) { run++; continue; }
+            int32_t m = t / dv[p];
+            // |mag| <= 513 here (|coef| <= 8192 for real pixels, AC
+            // quant >= 16), below the negative-key region of the LUT,
+            // and bits are sign-symmetric.
+            total += bs_ac_bits[((uint32_t)run << 10) | ((uint32_t)m & 0x3FF)];
+            nz++;
+            run = 0;
+        }
+        if (total > thr) return total;
+    }
+    *nz_out = nz;
+    return total;
+}
+
+struct bs_bitpack {
+    uint16_t *out;
+    long cap, n = 0;
+    uint32_t cur = 0;
+    int left = 16;
+    void put(uint32_t val, int bits) {
+        while (bits > 0) {
+            int k = bits < left ? bits : left;
+            uint32_t chunk = (val >> (bits - k)) & ((1u << k) - 1u);
+            cur |= chunk << (left - k);
+            left -= k;
+            bits -= k;
+            if (left == 0) {
+                if (n < cap) out[n] = (uint16_t)cur;
+                n++;
+                cur = 0;
+                left = 16;
+            }
+        }
+    }
+    void flush() {
+        if (left < 16) {
+            if (n < cap) out[n] = (uint16_t)cur;
+            n++;
+            cur = 0;
+            left = 16;
+        }
+    }
+};
+
+static void bs_encode_one_frame(const uint8_t *frame, int width, int height,
+                                int codec, long budget, long cap_words,
+                                uint16_t *words, int32_t *scale_out,
+                                int32_t *total_out, int32_t *nz_out,
+                                int16_t *czz, uint8_t *dcb, uint32_t *dcc) {
+    const int mb_x = width / 16, mb_y = height / 16;
+    const long nb = (long)mb_x * mb_y * 6;
+    const uint8_t *yp = frame;
+    const uint8_t *cp = frame + (long)width * height;  // interleaved Cr/Cb
+    const int cw = width / 2;
+
+    // --- rearrange + FDCT + zigzag store (once per frame; the
+    // reference re-runs this per scale retry, mdec.c:640-643).
+    long n = 0;
+    for (int mx = 0; mx < mb_x; mx++) {
+        for (int my = 0; my < mb_y; my++) {
+            for (int p = 0; p < 6; p++, n++) {
+                int32_t d[64];
+                if (p < 2) {                       // Cr then Cb
+                    for (int r = 0; r < 8; r++)
+                        for (int c = 0; c < 8; c++)
+                            d[8 * r + c] =
+                                (int32_t)cp[((my * 8 + r) * cw +
+                                             (mx * 8 + c)) * 2 + p] - 128;
+                } else {                           // Y quadrants
+                    int a = (p - 2) >> 1, b = (p - 2) & 1;
+                    const uint8_t *yb =
+                        yp + (long)(my * 16 + a * 8) * width + mx * 16 +
+                        b * 8;
+                    for (int r = 0; r < 8; r++)
+                        for (int c = 0; c < 8; c++)
+                            d[8 * r + c] =
+                                (int32_t)yb[(long)r * width + c] - 128;
+                }
+                bs_fdct_block(d);
+                int16_t *dst = czz + n * 64;
+                for (int pos = 0; pos < 64; pos++)
+                    dst[pos] = (int16_t)d[bs_zagzig[pos]];
+            }
+        }
+    }
+
+    // --- scale-independent DC stage (quant by 8*quant[0] = 16,
+    // mdec.c:671; v3/v3dc delta chains per block type, mdec.c:455-480).
+    long dc_total = 0;
+    if (codec == 0) {                              // BS v2
+        for (long i = 0; i < nb; i++) {
+            int32_t dq = bs_clamp_coeff(bs_div_rounded(czz[i * 64], 16));
+            dcb[i] = 10;
+            dcc[i] = (uint32_t)dq & 0x3FF;
+        }
+        dc_total = 10 * nb;
+    } else {
+        int32_t last[3] = {0, 0, 0};
+        for (long i = 0; i < nb; i++) {
+            int t = (int)(i % 6);
+            if (t > 2) t = 2;
+            int32_t dq = bs_clamp_coeff(bs_div_rounded(czz[i * 64], 16));
+            int32_t delta = bs_div_rounded(dq - last[t], 4);
+            last[t] += 4 * delta;
+            int32_t kd = delta;
+            if (codec == 2) {                      // BS v3dc wrap
+                if (kd < -0x80) kd += 0x100;
+                if (kd > 0x80) kd -= 0x100;
+            }
+            uint32_t key = (uint32_t)kd & 0x1FF;
+            int tree = t == 2 ? 1 : 0;
+            dcb[i] = bs_dc_bits[tree][key];
+            dcc[i] = bs_dc_code[tree][key];
+            dc_total += dcb[i];
+        }
+    }
+
+    // --- first-fit scale: a frame fits iff ac_bits <= thr (the exact
+    // inverse of 8 + 2*ceil(total_bits/16) <= budget, mdec.c:321-333).
+    long hw = budget - 8;
+    long cwords = hw >= 0 ? hw / 2 : -((-hw + 1) / 2);  // floor division
+    long thr = 16 * cwords - (dc_total + 2 * nb + 10);
+
+    int lo = 0, hi = 64;                           // LB lower bound search
+    while (hi - lo > 1) {
+        int mid = (lo + hi) >> 1;
+        if (thr >= 0 && bs_lb_feasible(czz, nb, mid, thr)) hi = mid;
+        else lo = mid;
+    }
+    int scale = 64;
+    long ac_bits = 0, nz = 0;
+    for (int s = hi; s <= 63 && thr >= 0; s++) {
+        long nz_s = 0;
+        long b = bs_exact_ac_bits(czz, nb, s, thr, &nz_s);
+        if (b <= thr) {                            // no abort: nz_s exact
+            scale = s;
+            ac_bits = b;
+            nz = nz_s;
+            break;
+        }
+    }
+    *scale_out = scale;
+    if (scale >= 64) {                             // caller raises
+        *total_out = 0;
+        *nz_out = 0;
+        return;
+    }
+    *total_out = (int32_t)(ac_bits + dc_total + 2 * nb + 10);
+    *nz_out = (int32_t)nz;
+
+    // --- emission at the winning scale + 16-bit MSB-first packing.
+    int32_t dv[63], hv[63];
+    for (int p = 0; p < 63; p++) {
+        dv[p] = bs_quant[bs_zagzig[p + 1]] * scale;
+        hv[p] = dv[p] >> 1;
+    }
+    bs_bitpack bp{words, cap_words};
+    for (long i = 0; i < nb; i++) {
+        bp.put(dcc[i], dcb[i]);
+        const int16_t *c = czz + i * 64;
+        int run = 0;
+        for (int p = 0; p < 63; p++) {
+            int32_t q = bs_clamp_coeff(bs_div_rounded(c[p + 1], dv[p]));
+            if (q == 0) { run++; continue; }
+            uint32_t key = ((uint32_t)run << 10) | ((uint32_t)q & 0x3FF);
+            bp.put(bs_ac_code[key], bs_ac_bits[key]);
+            run = 0;
+        }
+        bp.put(0x2, 2);                            // end-of-block
+    }
+    bp.put(codec == 0 ? 0x1FF : 0x3FF, 10);        // end-of-frame
+    bp.flush();
+}
+
+// Encode B NV21 frames with per-frame byte budgets into packed 16-bit
+// bitstream words — outputs mirror api.bs_encode_frames_packed: words
+// (B, capacity_words) u16, scale/total_bits/nz_count (B,) i32 (scale 64
+// = unfittable, caller errors like mdec.c:723). codec: 0=v2 1=v3 2=v3dc.
+// Frames are independent (the v3 DC chain is per-frame), so they fan
+// out over n_threads host threads.
+void psxn_bs_encode_frames(const uint8_t *frames, const int32_t *budgets,
+                           long B, int width, int height, int codec,
+                           long capacity_words, int n_threads,
+                           uint16_t *words_out, int32_t *scale_out,
+                           int32_t *total_bits_out, int32_t *nz_out) {
+    if (!bs_luts_ready) bs_luts_init();
+    const long fbytes = (long)width * height * 3 / 2;
+    const long nb = (long)(width / 16) * (height / 16) * 6;
+
+    auto worker = [&](long t, long nt) {
+        std::vector<int16_t> czz(nb * 64);
+        std::vector<uint8_t> dcb(nb);
+        std::vector<uint32_t> dcc(nb);
+        for (long i = t; i < B; i += nt)
+            bs_encode_one_frame(
+                frames + i * fbytes, width, height, codec, budgets[i],
+                capacity_words, words_out + i * capacity_words,
+                scale_out + i, total_bits_out + i, nz_out + i,
+                czz.data(), dcb.data(), dcc.data());
+    };
+    long nt = n_threads > 0 ? n_threads : 1;
+    if (nt > B) nt = B;
+    if (nt <= 1) {
+        worker(0, 1);
+    } else {
+        std::vector<std::thread> threads;
+        for (long t = 0; t < nt; t++)
+            threads.emplace_back(worker, t, nt);
+        for (auto &th : threads) th.join();
+    }
 }
 
 }  // extern "C"

@@ -1,0 +1,155 @@
+"""Native C++ BS video encoder tier (psxn_bs_encode_frames).
+
+The no-TPU fallback for the whole video pipeline must be bit-identical
+to the device pipeline (api.bs_encode_frames_packed): same FDCT
+(mdec.c:524-548 islow variant), same first-fit scale (mdec.c:663-723),
+same Huffman emission and 16-bit packing (mdec.c:321-385). The XLA
+formulation is dispatch-bound off-TPU; this tier is what CPU-only hosts
+actually run, so it gets its own cross-checks here (the golden CLI
+suites exercise it end-to-end against the reference binary too).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from psxavenc_tpu import api, native
+from psxavenc_tpu.models.bs_video import BsFrameEncoder
+from psxavenc_tpu.ops import bs as bs_ops
+
+from conftest import rand_frames
+
+W, H = 320, 240
+
+
+def _to_nv21(planes, w=W, h=H):
+    y, cb, cr = planes
+    yv = np.asarray(y).reshape(h, w)
+    cbp = np.asarray(cb).reshape(h // 2, w // 2)
+    crp = np.asarray(cr).reshape(h // 2, w // 2)
+    c = np.stack([crp, cbp], axis=-1).reshape(-1)
+    return np.concatenate([yv.reshape(-1), c]).astype(np.uint8)
+
+
+def _frames(n, w=W, h=H, seed=3):
+    rng = np.random.default_rng(seed)
+    structured = [_to_nv21(f, w, h) for f in rand_frames(w, h, n - 1,
+                                                         seed=seed)]
+    noise = rng.integers(0, 256, w * h * 3 // 2).astype(np.uint8)
+    return np.stack(structured + [noise])
+
+
+def _xla_packed(frames, budgets, codec, w=W, h=H):
+    cap = (int(np.max(budgets)) - 8 + 1) // 2
+    out = jax.jit(lambda f, b: api.bs_encode_frames_packed(
+        f, b, codec=codec, width=w, height=h, capacity_words=cap,
+        pallas_sweep=False, packer="blocks"))(frames, budgets)
+    return {k: np.asarray(v) for k, v in out.items()}, cap
+
+
+@pytest.mark.parametrize("codec", [bs_ops.BS_V2, bs_ops.BS_V3,
+                                   bs_ops.BS_V3DC])
+def test_native_matches_xla_pipeline(codec):
+    """scale / total_bits / nz / packed words all equal the XLA packed
+    pipeline across codecs, on structured and noise frames with mixed
+    budgets (incl. a tight one that forces a high scale)."""
+    frames = _frames(4)
+    budgets = np.array([18144, 8016, 4032, 18144], np.int32)
+    ref, cap = _xla_packed(frames, budgets, codec)
+    nat = native.bs_encode_frames(frames, budgets, codec=codec,
+                                  width=W, height=H, capacity_words=cap)
+    assert np.array_equal(ref["scale"], nat["scale"])
+    fit = ref["scale"] <= 63
+    assert fit.all(), "fixture budgets should all be encodable"
+    for k in ("total_bits", "nz_count"):
+        assert np.array_equal(ref[k], nat[k]), k
+    assert np.array_equal(ref["words"].astype(np.uint16), nat["words"])
+
+
+def test_native_unfittable_scale64():
+    """A noise frame under an impossible budget reports scale 64 (the
+    XLA path's metadata is junk there by design — only the scale is
+    comparable, callers raise either way, mdec.c:723)."""
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, (2, W * H * 3 // 2)).astype(np.uint8)
+    budgets = np.array([2016, 18144], np.int32)
+    ref, cap = _xla_packed(frames, budgets, bs_ops.BS_V2)
+    nat = native.bs_encode_frames(frames, budgets, codec=bs_ops.BS_V2,
+                                  width=W, height=H, capacity_words=cap)
+    assert np.array_equal(ref["scale"], nat["scale"])
+    assert nat["scale"][0] == 64 and nat["scale"][1] <= 63
+    # The fitting frame's outputs are unaffected by its neighbor.
+    assert np.array_equal(ref["words"][1].astype(np.uint16),
+                          nat["words"][1])
+    assert ref["total_bits"][1] == nat["total_bits"][1]
+
+
+def test_native_small_geometry():
+    """16x16 (one macroblock) exercises the rearrange edge cases."""
+    w = h = 16
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (3, w * h * 3 // 2)).astype(np.uint8)
+    budgets = np.array([2016, 96, 512], np.int32)
+    for codec in (bs_ops.BS_V2, bs_ops.BS_V3DC):
+        ref, cap = _xla_packed(frames, budgets, codec, w, h)
+        nat = native.bs_encode_frames(frames, budgets, codec=codec,
+                                      width=w, height=h,
+                                      capacity_words=cap)
+        assert np.array_equal(ref["scale"], nat["scale"])
+        fit = ref["scale"] <= 63
+        assert np.array_equal(ref["total_bits"][fit],
+                              nat["total_bits"][fit])
+        assert np.array_equal(ref["words"][fit].astype(np.uint16),
+                              nat["words"][fit])
+
+
+@pytest.mark.parametrize("codec", [bs_ops.BS_V2, bs_ops.BS_V3DC])
+def test_frame_encoder_tiers_identical(codec, monkeypatch):
+    """BsFrameEncoder produces byte-identical assembled frames (headers
+    included) through the native and device tiers."""
+    frames = list(_frames(5, seed=9))
+    sizes = [18144, 18144, 8016, 18144, 18144]
+
+    monkeypatch.setenv("PSXAVENC_VIDEO_TIER", "native")
+    enc_n = BsFrameEncoder(codec, W, H)
+    assert enc_n._tier == "native"
+    res_n = enc_n.encode_frames(frames, sizes)
+    enc_n.close()
+
+    monkeypatch.setenv("PSXAVENC_VIDEO_TIER", "device")
+    enc_d = BsFrameEncoder(codec, W, H)
+    assert enc_d._tier == "device"
+    res_d = enc_d.encode_frames(frames, sizes)
+    enc_d.close()
+
+    assert len(res_n) == len(res_d) == len(frames)
+    for (buf_n, info_n), (buf_d, info_d) in zip(res_n, res_d):
+        assert info_n == info_d
+        assert np.array_equal(buf_n, buf_d)
+    assert enc_n.quant_scale_sum == enc_d.quant_scale_sum
+
+
+def test_frame_encoder_native_async(monkeypatch):
+    """The async dispatch/fetch path works on the native tier (the
+    str/sbs frame feeds prefetch through it)."""
+    frames = list(_frames(3, seed=21))
+    sizes = [18144, 18144, 18144]
+    monkeypatch.setenv("PSXAVENC_VIDEO_TIER", "native")
+    enc = BsFrameEncoder(bs_ops.BS_V2, W, H)
+    handle = enc.encode_frames_async(frames, sizes)
+    got = enc.fetch(handle)
+    want = enc.encode_frames(frames, sizes)
+    enc.close()
+    for (bg, ig), (bw, iw) in zip(got, want):
+        assert ig == iw and np.array_equal(bg, bw)
+
+
+def test_frame_encoder_native_raises_unfittable(monkeypatch):
+    rng = np.random.default_rng(2)
+    frames = [rng.integers(0, 256, W * H * 3 // 2).astype(np.uint8)]
+    monkeypatch.setenv("PSXAVENC_VIDEO_TIER", "native")
+    enc = BsFrameEncoder(bs_ops.BS_V2, W, H)
+    with pytest.raises(RuntimeError, match="quant scale 63"):
+        enc.encode_frames(frames, [2016])
+    enc.close()
