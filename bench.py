@@ -88,7 +88,7 @@ def _timed_loop(fn, min_seconds=2.0, max_iters=200):
             return iters, dt
 
 
-def measure_ours_video(batch=128, iters=6):
+def measure_ours_video(batch=128, iters=6, serial_baseline=True):
     """End-to-end video throughput INCLUDING the host->device frame
     upload and host-side frame assembly, through the PRODUCTION encoder
     (models.bs_video.BsFrameEncoder — the path the CLI muxers drive,
@@ -125,11 +125,17 @@ def measure_ours_video(batch=128, iters=6):
             np.asarray(out["words"])
             np.asarray(out["scale"])
 
-    serial_pass()
-    t0 = time.monotonic()
-    for _ in range(iters):
+    if serial_baseline:
         serial_pass()
-    serial = (time.monotonic() - t0) / iters
+        t0 = time.monotonic()
+        for _ in range(iters):
+            serial_pass()
+        serial = (time.monotonic() - t0) / iters
+    else:
+        # CPU fallback: the XLA serial pass is dispatch-bound off-TPU
+        # (minutes at this batch) and the overlap gain is a tunnel
+        # metric anyway.
+        serial = 0.0
 
     t0 = time.monotonic()
     for _ in range(iters):
@@ -404,6 +410,32 @@ def measure_batch_runner(n_files=32, seconds=2):
     return out
 
 
+def measure_video_native_cpu(batch=32, iters=3):
+    """The native C++ frame-encoder tier's rate on this host's cores —
+    what a no-TPU user of the CLI actually gets (~2x the reference
+    binary per core; the XLA path off-TPU is dispatch-bound and no
+    longer the CPU default)."""
+    from psxavenc_tpu import native
+    from psxavenc_tpu.io.ingest import _scale_frame_nv21
+    from psxavenc_tpu.ops import bs as bs_ops
+    from psxavenc_tpu.utils import synth
+
+    frames = synth.rand_frames(VIDEO_W, VIDEO_H, batch, seed=3)
+    nv21 = np.stack([
+        _scale_frame_nv21(y, cb, cr, VIDEO_W, VIDEO_H, VIDEO_W, VIDEO_H)
+        for (y, cb, cr) in frames])
+    budgets = np.full(batch, FRAME_BUDGET, np.int32)
+    cap = (FRAME_BUDGET - 8) // 2
+    run = lambda: native.bs_encode_frames(
+        nv21, budgets, codec=bs_ops.BS_V2, width=VIDEO_W, height=VIDEO_H,
+        capacity_words=cap)
+    run()
+    t0 = time.monotonic()
+    for _ in range(iters):
+        run()
+    return batch / ((time.monotonic() - t0) / iters)
+
+
 def _tpu_reachable(timeout):
     """Probe the axon TPU tunnel in a SUBPROCESS. A wedged tunnel (e.g.
     a pool grant lost to a killed client) hangs ``jax.devices()``
@@ -488,7 +520,11 @@ def main():
         log(f"ours: video v3dc {v3dc_fps:.2f} fps (device-side)")
     audio_msps = measure_ours_audio(use_pallas=(dev.platform == "tpu"))
     log(f"ours: audio {audio_msps:.2f} Msamples/s")
-    video_fps, overlap_gain = measure_ours_video()
+    video_fps, overlap_gain = measure_ours_video(
+        serial_baseline=(dev.platform == "tpu"))
+    video_native_fps = measure_video_native_cpu()
+    log(f"ours: video {video_native_fps:.1f} fps (native C++ no-TPU "
+        f"tier, this host's cores)")
     log(f"ours: video {video_fps:.2f} fps (e2e tunnel, incl. frame "
         f"upload; double-buffered upload gains {overlap_gain:.0f}% over "
         f"serial)")
@@ -530,6 +566,7 @@ def main():
                               if device_fallback else ""),
         "video_fps": video_fps,
         "video_fps_device": video_dev_fps,
+        "video_fps_native_cpu": video_native_fps,
         "video_fps_ref_cpu": ref["video_fps"],
         "video_vs_ref": video_fps / ref["video_fps"],
         "video_device_vs_ref": video_dev_fps / ref["video_fps"],

@@ -38,6 +38,20 @@ def test_sbs_golden(tmp_path, oracle, codec, w, h, n, align):
     assert ref == ours
 
 
+@pytest.mark.parametrize("codec", ["v2", "v3dc"])
+def test_sbs_golden_device_tier(tmp_path, oracle, codec, monkeypatch):
+    """The XLA device pipeline keeps end-to-end CLI coverage now that
+    the native C++ tier is the CPU default: pin PSXAVENC_VIDEO_TIER and
+    byte-diff against the oracle."""
+    monkeypatch.setenv("PSXAVENC_VIDEO_TIER", "device")
+    w, h, n = 64, 64, 3
+    frames = rand_frames(w, h, n, seed=77)
+    ref, ours = _encode_both(
+        tmp_path, (w, h, frames, 15, {}),
+        ["-t", "sbs", "-v", codec, "-s", f"{w}x{h}", "-a", 8192], "sbs")
+    assert ref == ours
+
+
 @pytest.mark.parametrize("src_fps,n", [(10, 4), (30, 10), (12, 5)])
 def test_strv_cfr_mismatch_golden(tmp_path, oracle, src_fps, n):
     """Source frame rate != target: the CFR drop/duplicate retiming
