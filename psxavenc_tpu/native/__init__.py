@@ -19,18 +19,33 @@ _SRC = _DIR / "psxav_native.cpp"
 
 def _build():
     src = _SRC.read_bytes()
-    tag = hashlib.sha256(src).hexdigest()[:16]
-    out = _DIR / f"libpsxav_native_{tag}.so"
-    if out.exists():
+    # -march=native vectorizes the integer hot loops (everything is
+    # exact int math, so codegen can't change bytes); the .so is built
+    # on first import on the machine that runs it, and the cache tag
+    # covers the flags so flag changes rebuild. Falls back to the
+    # portable baseline if the compiler rejects native (exotic hosts).
+    flag_sets = [
+        ["-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+         "-march=native"],
+        ["-O3", "-std=c++17", "-shared", "-fPIC", "-pthread"],
+    ]
+    last_err = None
+    for flags in flag_sets:
+        tag = hashlib.sha256(src + " ".join(flags).encode()).hexdigest()[:16]
+        out = _DIR / f"libpsxav_native_{tag}.so"
+        if out.exists():
+            return out
+        with tempfile.TemporaryDirectory() as td:
+            tmp = pathlib.Path(td) / out.name
+            try:
+                subprocess.run(["g++", *flags, str(_SRC), "-o", str(tmp)],
+                               check=True, capture_output=True)
+            except subprocess.CalledProcessError as e:  # try next set
+                last_err = e
+                continue
+            os.replace(tmp, out)
         return out
-    with tempfile.TemporaryDirectory() as td:
-        tmp = pathlib.Path(td) / out.name
-        subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-             str(_SRC), "-o", str(tmp)],
-            check=True, capture_output=True)
-        os.replace(tmp, out)
-    return out
+    raise last_err
 
 
 _lib = ctypes.CDLL(str(_build()))

@@ -664,7 +664,8 @@ static void bs_encode_one_frame(const uint8_t *frame, int width, int height,
                                 int codec, long budget, long cap_words,
                                 uint16_t *words, int32_t *scale_out,
                                 int32_t *total_out, int32_t *nz_out,
-                                int16_t *czz, uint8_t *dcb, uint32_t *dcc) {
+                                int16_t *czz, uint8_t *dcb, uint32_t *dcc,
+                                int *seed_io) {
     const int mb_x = width / 16, mb_y = height / 16;
     const long nb = (long)mb_x * mb_y * 6;
     const uint8_t *yp = frame;
@@ -739,24 +740,56 @@ static void bs_encode_one_frame(const uint8_t *frame, int width, int height,
     long cwords = hw >= 0 ? hw / 2 : -((-hw + 1) / 2);  // floor division
     long thr = 16 * cwords - (dc_total + 2 * nb + 10);
 
-    int lo = 0, hi = 64;                           // LB lower bound search
-    while (hi - lo > 1) {
-        int mid = (lo + hi) >> 1;
-        if (thr >= 0 && bs_lb_feasible(czz, nb, mid, thr)) hi = mid;
-        else lo = mid;
-    }
+    // Seeded speculative probe, mirroring the Mosaic select kernel
+    // (ops/bs_pallas.py::_search_store): consecutive frames usually
+    // choose the SAME scale, so evaluate the ladder LB at seed-1 (by
+    // monotonicity, infeasible there proves every scale below seed
+    // unfit) and the exact totals at seed — a hit answers in ~2 passes
+    // instead of the cold bisect's ~7. A miss falls back to the bisect
+    // with the bracket already tightened; never to a wrong answer.
     int scale = 64;
     long ac_bits = 0, nz = 0;
-    for (int s = hi; s <= 63 && thr >= 0; s++) {
-        long nz_s = 0;
-        long b = bs_exact_ac_bits(czz, nb, s, thr, &nz_s);
-        if (b <= thr) {                            // no abort: nz_s exact
-            scale = s;
-            ac_bits = b;
-            nz = nz_s;
-            break;
+    if (thr >= 0) {
+        int seed = *seed_io;
+        int sl = (seed >= 1 && seed <= 63) ? seed : 32;
+        int slm = sl - 1 > 1 ? sl - 1 : 1;
+        bool below = !bs_lb_feasible(czz, nb, slm, thr);
+        long nz_sl = 0;
+        long b_sl = bs_exact_ac_bits(czz, nb, sl, thr, &nz_sl);
+        bool efit = b_sl <= thr;
+        if ((below || sl == 1) && efit) {
+            scale = sl;
+            ac_bits = b_sl;
+            nz = nz_sl;
+        } else {
+            int lo = below ? slm : 0, hi = below ? 64 : slm;
+            while (hi - lo > 1) {                  // LB lower bound
+                int mid = (lo + hi) >> 1;
+                if (bs_lb_feasible(czz, nb, mid, thr)) hi = mid;
+                else lo = mid;
+            }
+            int s0 = (!efit && hi == sl) ? sl + 1 : hi;
+            if (efit && hi == sl) {                // reuse the probe
+                scale = sl;
+                ac_bits = b_sl;
+                nz = nz_sl;
+            } else {
+                for (int s = s0; s <= 63; s++) {
+                    long nz_s = 0;
+                    long b = bs_exact_ac_bits(czz, nb, s, thr, &nz_s);
+                    if (b <= thr) {                // no abort: nz exact
+                        scale = s;
+                        ac_bits = b;
+                        nz = nz_s;
+                        break;
+                    }
+                }
+            }
         }
     }
+    // An unfittable frame seeds the next at 63 (64 is unprobeable and
+    // would cold-bisect every following frame — the kernel's gotcha).
+    *seed_io = scale <= 63 ? scale : 63;
     *scale_out = scale;
     if (scale >= 64) {                             // caller raises
         *total_out = 0;
@@ -809,12 +842,13 @@ void psxn_bs_encode_frames(const uint8_t *frames, const int32_t *budgets,
         std::vector<int16_t> czz(nb * 64);
         std::vector<uint8_t> dcb(nb);
         std::vector<uint32_t> dcc(nb);
+        int seed = 0;   // per-worker: its stride stays temporally close
         for (long i = t; i < B; i += nt)
             bs_encode_one_frame(
                 frames + i * fbytes, width, height, codec, budgets[i],
                 capacity_words, words_out + i * capacity_words,
                 scale_out + i, total_bits_out + i, nz_out + i,
-                czz.data(), dcb.data(), dcc.data());
+                czz.data(), dcb.data(), dcc.data(), &seed);
     };
     long nt = n_threads > 0 ? n_threads : 1;
     if (nt > B) nt = B;
