@@ -155,18 +155,38 @@ def measure_ours_audio(batch=4096, t_units=1000, use_pallas=True):
     reported separately in the details (the dev tunnel's ~20 MB/s is not
     representative of a production PCIe host).
 
-    ``use_pallas=False`` (the CPU-fallback bench) times the XLA scan
-    tier instead — the Mosaic kernel only runs compiled on TPU — with
-    shapes cut to keep the fallback bench bounded.
+    ``use_pallas=False`` (the CPU-fallback bench) times the NATIVE C++
+    unit encoder instead — the tier a no-TPU CLI run actually uses (the
+    Mosaic kernel only runs compiled on TPU; the XLA scan is
+    dispatch-bound off-TPU and never the production path).
     """
     import jax
     import jax.numpy as jnp
-    from psxavenc_tpu.ops import adpcm_pallas as pk
 
     if not use_pallas:
-        batch, t_units = 128, 100
-        from psxavenc_tpu.ops import adpcm as adpcm_ops
-        pk = None
+        from psxavenc_tpu import native
+
+        batch, t_units = 64, 500
+        rng = np.random.default_rng(1)
+        pcm = np.cumsum(rng.integers(-800, 800, (batch, t_units * 28)),
+                        axis=1)
+        units = np.clip(pcm, -32768, 32767).astype(np.int16).reshape(
+            batch, t_units, 28)
+        limits = np.full((batch, t_units), 28, np.int32)
+        z = np.zeros(batch, np.int32)
+        native.adpcm_encode_units(units[:4, :50], limits[:4, :50],
+                                  z[:4], z[:4], 5, 12)  # warm build
+        t0 = time.monotonic()
+        iters = 0
+        while True:
+            native.adpcm_encode_units(units, limits, z, z, 5, 12)
+            iters += 1
+            dt = time.monotonic() - t0
+            if dt >= 2.0 or iters >= 50:
+                break
+        return batch * t_units * 28 * iters / dt / 1e6
+
+    from psxavenc_tpu.ops import adpcm_pallas as pk
 
     rng = np.random.default_rng(1)
     pcm = np.cumsum(rng.integers(-800, 800, (batch, t_units * 28)),
@@ -179,12 +199,8 @@ def measure_ours_audio(batch=4096, t_units=1000, use_pallas=True):
 
     @jax.jit
     def run(u, l, a, b):
-        if pk is not None:
-            h, w, p1, p2 = pk.encode_units_pallas(
-                u, l, a, b, filter_count=5, shift_range=12)
-        else:
-            h, w, p1, p2 = adpcm_ops.encode_units_scan(
-                u, l, a, b, filter_count=5, shift_range=12)
+        h, w, p1, p2 = pk.encode_units_pallas(
+            u, l, a, b, filter_count=5, shift_range=12)
         return h.sum() + w.sum() + p1[:, -1].sum()
 
     np.asarray(run(units, limits, z, z))  # compile + warm
