@@ -811,8 +811,11 @@ static void bs_encode_one_frame(const uint8_t *frame, int width, int height,
         const int16_t *c = czz + i * 64;
         int run = 0;
         for (int p = 0; p < 63; p++) {
-            int32_t q = bs_clamp_coeff(bs_div_rounded(c[p + 1], dv[p]));
-            if (q == 0) { run++; continue; }
+            int32_t v = c[p + 1];
+            int32_t a = v < 0 ? -v : v;
+            if (a + hv[p] < dv[p]) { run++; continue; }  // quantizes to 0
+            int32_t m = (a + hv[p]) / dv[p];
+            int32_t q = bs_clamp_coeff(v < 0 ? -m : m);
             uint32_t key = ((uint32_t)run << 10) | ((uint32_t)q & 0x3FF);
             bp.put(bs_ac_code[key], bs_ac_bits[key]);
             run = 0;
