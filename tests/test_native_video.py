@@ -104,6 +104,44 @@ def test_native_small_geometry():
                               nat["words"][fit])
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_native_fuzz_vs_xla(seed):
+    """Randomized geometries, budgets and content (smooth gradients,
+    flat blocks, saturated noise) — scale/words/totals must match the
+    XLA pipeline everywhere a frame fits."""
+    rng = np.random.default_rng(3000 + seed)
+    w = 16 * int(rng.integers(1, 7))
+    h = 16 * int(rng.integers(1, 5))
+    B = 3
+    codec = [bs_ops.BS_V2, bs_ops.BS_V3, bs_ops.BS_V3DC][seed % 3]
+    kinds = rng.integers(0, 3, B)
+    frames = []
+    for k in kinds:
+        if k == 0:      # smooth
+            frames.append(_to_nv21(rand_frames(w, h, 1, seed=seed)[0],
+                                   w, h))
+        elif k == 1:    # flat with hard blocks (long zero runs)
+            f = np.full(w * h * 3 // 2, 128, np.uint8)
+            f[: w * 4] = 255
+            frames.append(f)
+        else:           # saturated noise
+            frames.append(rng.integers(0, 256, w * h * 3 // 2)
+                          .astype(np.uint8))
+    frames = np.stack(frames)
+    nbytes = w * h // 256 * 6
+    budgets = rng.integers(max(16, nbytes), max(64, nbytes * 40),
+                           B).astype(np.int32)
+    ref, cap = _xla_packed(frames, budgets, codec, w, h)
+    nat = native.bs_encode_frames(frames, budgets, codec=codec,
+                                  width=w, height=h, capacity_words=cap)
+    assert np.array_equal(ref["scale"], nat["scale"])
+    fit = ref["scale"] <= 63
+    assert np.array_equal(ref["total_bits"][fit], nat["total_bits"][fit])
+    assert np.array_equal(ref["nz_count"][fit], nat["nz_count"][fit])
+    assert np.array_equal(ref["words"][fit].astype(np.uint16),
+                          nat["words"][fit])
+
+
 @pytest.mark.parametrize("codec", [bs_ops.BS_V2, bs_ops.BS_V3DC])
 def test_frame_encoder_tiers_identical(codec, monkeypatch):
     """BsFrameEncoder produces byte-identical assembled frames (headers
