@@ -172,6 +172,19 @@ static inline int32_t adpcm_predict(int32_t k1, int32_t k2, int32_t p1,
 // headers (B,T), nibble values (B,T,28) and the post-unit decoder
 // states s1/s2 (B,T) (callers slice the state at any unit, matching
 // encode_units_scan's per-unit state returns).
+//
+// All (filter, shift) candidates run as LANES of fixed-width arrays
+// (the CPU analog of the Pallas kernel's sublane layout,
+// ops/adpcm_pallas.py): the 28-step decode recurrence executes once
+// per unit over 16 int32 lanes instead of once per candidate, and the
+// fixed-trip inner loops auto-vectorize (variable per-lane shifts are
+// vpsravd/vpsllvd). Same exactness devices as the kernel: the hoisted
+// shift reformulation ((s-pred+bias)>>rc with rc = range-sh, exact for
+// every sh in [0, range]) and the uint32 wraparound + carry-count MSE
+// (err^2 < 2^32 per step). Candidate order and strict-< first-best
+// ties match adpcm.c:142-191.
+#define ADPCM_VL 16
+
 void psxn_adpcm_encode_units(const int16_t *units, const int32_t *limits,
                              const int32_t *state12, uint8_t *headers,
                              uint8_t *nibbles, int32_t *s1_out,
@@ -180,7 +193,7 @@ void psxn_adpcm_encode_units(const int16_t *units, const int32_t *limits,
     const int32_t sample_mask = 0xFFFF >> shift_range;
     const int32_t min_e = -0x8000 >> shift_range;
     const int32_t max_e = 0x7FFF >> shift_range;
-    const int32_t half = 1 << (shift_range - 1);
+    const int C = filter_count * 3;            // <= 15
 
     for (long b = 0; b < B; b++) {
         int32_t prev1 = state12[b * 2], prev2 = state12[b * 2 + 1];
@@ -191,15 +204,12 @@ void psxn_adpcm_encode_units(const int16_t *units, const int32_t *limits,
             for (int i = 0; i < 28; i++)
                 raw[i] = (i < lim) ? (int32_t)su[i] : 0;
 
-            uint64_t best_mse = ~0ull;
-            int best_filter = 0, best_shift = 0;
-            int32_t best_nib[28], best_p1 = prev1, best_p2 = prev2;
-
+            // find_min_shift per filter: residuals with RAW history
+            // (no quantization feedback), smallest right-shift keeping
+            // them in range with one-step clip allowed (adpcm.c:39-79).
+            int min_shift_f[5];
             for (int f = 0; f < filter_count; f++) {
                 const int32_t k1 = adpcm_k1[f], k2 = adpcm_k2[f];
-                // find_min_shift: residuals with RAW history (no
-                // quantization feedback), then the smallest right-shift
-                // keeping residuals in range (one-step clip allowed).
                 int32_t p1 = prev1, p2 = prev2;
                 int32_t s_min = 0, s_max = 0;
                 for (int i = 0; i < 28; i++) {
@@ -211,56 +221,87 @@ void psxn_adpcm_encode_units(const int16_t *units, const int32_t *limits,
                 }
                 int right_shift = 0;
                 while (right_shift < shift_range &&
-                       ((s_max >> right_shift) > (0x7FFF >> shift_range) ||
-                        (s_min >> right_shift) < (-0x8000 >> shift_range)))
+                       ((s_max >> right_shift) > max_e ||
+                        (s_min >> right_shift) < min_e))
                     right_shift++;
-                int min_shift = shift_range - right_shift;
+                min_shift_f[f] = shift_range - right_shift;
+            }
 
-                for (int d = -1; d <= 1; d++) {
-                    int sh = min_shift + d;
+            // Candidate lanes (filter-major, shift ascending), padded
+            // to ADPCM_VL with candidate-0 duplicates.
+            int32_t k1c[ADPCM_VL], k2c[ADPCM_VL], shc[ADPCM_VL];
+            for (int c = 0; c < ADPCM_VL; c++) {
+                if (c < C) {
+                    int f = c / 3, d = c % 3 - 1;
+                    int sh = min_shift_f[f] + d;
                     if (sh < 0) sh = 0;
                     if (sh > shift_range) sh = shift_range;
-                    int32_t nib[28];
-                    int32_t a1 = prev1, a2 = prev2;
-                    uint64_t mse = 0;
-                    for (int i = 0; i < 28; i++) {
-                        int32_t s = raw[i];
-                        int32_t pred = adpcm_predict(k1, k2, a1, a2);
-                        /* Shift through unsigned: left-shifting a
-                         * negative int32 is UB before C++20 (bit-
-                         * identical on two's-complement targets). */
-                        int32_t enc =
-                            ((int32_t)((uint32_t)(s - pred) << sh)
-                             + half) >> shift_range;
-                        if (enc < min_e) enc = min_e;
-                        if (enc > max_e) enc = max_e;
-                        enc &= sample_mask;
-                        int32_t dec = (int16_t)(enc << shift_range);
-                        dec = (dec >> sh) + pred;
-                        if (dec < -0x8000) dec = -0x8000;
-                        if (dec > 0x7FFF) dec = 0x7FFF;
-                        int64_t err = dec - s;
-                        mse += (uint64_t)(err * err);
-                        nib[i] = enc;
-                        a2 = a1;
-                        a1 = dec;
-                    }
-                    if (mse < best_mse) {     // strict: first-best wins
-                        best_mse = mse;
-                        best_filter = f;
-                        best_shift = sh;
-                        for (int i = 0; i < 28; i++) best_nib[i] = nib[i];
-                        best_p1 = a1;
-                        best_p2 = a2;
-                    }
+                    k1c[c] = adpcm_k1[f];
+                    k2c[c] = adpcm_k2[f];
+                    shc[c] = sh;
+                } else {
+                    k1c[c] = k1c[0];
+                    k2c[c] = k2c[0];
+                    shc[c] = shc[0];
                 }
             }
+            int32_t rc[ADPCM_VL], bias[ADPCM_VL];
+            for (int c = 0; c < ADPCM_VL; c++) {
+                rc[c] = shift_range - shc[c];
+                bias[c] = (1 << rc[c]) >> 1;
+            }
+
+            int32_t a1[ADPCM_VL], a2[ADPCM_VL];
+            uint32_t mse_lo[ADPCM_VL];
+            int32_t mse_hi[ADPCM_VL];
+            int32_t nib[28][ADPCM_VL];
+            for (int c = 0; c < ADPCM_VL; c++) {
+                a1[c] = prev1;
+                a2[c] = prev2;
+                mse_lo[c] = 0;
+                mse_hi[c] = 0;
+            }
+            for (int i = 0; i < 28; i++) {
+                const int32_t s = raw[i];
+                for (int c = 0; c < ADPCM_VL; c++) {
+                    int32_t pred = (k1c[c] * a1[c] + k2c[c] * a2[c] + 32)
+                                   >> 6;
+                    int32_t enc = (s - pred + bias[c]) >> rc[c];
+                    if (enc < min_e) enc = min_e;
+                    if (enc > max_e) enc = max_e;
+                    // enc stays SIGNED through decode: enc << rc is the
+                    // sign-extended reconstruction for in-range enc
+                    // (the nibble masks on at extraction).
+                    int32_t dec =
+                        (int32_t)((uint32_t)enc << rc[c]) + pred;
+                    if (dec < -0x8000) dec = -0x8000;
+                    if (dec > 0x7FFF) dec = 0x7FFF;
+                    int32_t err = dec - s;
+                    uint32_t sq = (uint32_t)(err * err);  // < 2^32 exact
+                    mse_lo[c] += sq;
+                    mse_hi[c] += mse_lo[c] < sq;          // carry
+                    nib[i][c] = enc;
+                    a2[c] = a1[c];
+                    a1[c] = dec;
+                }
+            }
+
+            // Fold lanes 0..C-1 in candidate order, strictly-better
+            // updates (lexicographic (hi, lo) = exact uint64 compare).
+            int best = 0;
+            for (int c = 1; c < C; c++)
+                if (mse_hi[c] < mse_hi[best] ||
+                    (mse_hi[c] == mse_hi[best] &&
+                     mse_lo[c] < mse_lo[best]))
+                    best = c;
+
             headers[b * T + t] =
-                (uint8_t)((best_shift & 0x0F) | (best_filter << 4));
+                (uint8_t)((shc[best] & 0x0F) | ((best / 3) << 4));
             uint8_t *nb = nibbles + (b * T + t) * 28;
-            for (int i = 0; i < 28; i++) nb[i] = (uint8_t)best_nib[i];
-            prev1 = best_p1;
-            prev2 = best_p2;
+            for (int i = 0; i < 28; i++)
+                nb[i] = (uint8_t)(nib[i][best] & sample_mask);
+            prev1 = a1[best];
+            prev2 = a2[best];
             s1_out[b * T + t] = prev1;
             s2_out[b * T + t] = prev2;
         }
