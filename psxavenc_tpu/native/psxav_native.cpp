@@ -12,6 +12,11 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX2__) && defined(__BMI2__)
+#include <immintrin.h>
+#define BS_HAVE_AVX2 1
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------- EDC CRC32
@@ -604,34 +609,81 @@ static inline int32_t bs_clamp_coeff(int32_t q) {
     return w;
 }
 
+// Per-block nonzero bitmask: bit i (1..63, raw zigzag index) set iff
+// |czz[i]| >= threshold[i], i.e. the coefficient survives quantization
+// at the scale the thresholds encode (a + d/2 >= d  <=>  a >= d - d/2).
+// thrm1[i] holds threshold-1 as int16 (thresholds fit: d - d/2 <= 2615
+// at s=63), thrm1[0] = INT16_MAX excludes the DC slot. The AVX2 path
+// compares 16 lanes at a time and pext-compacts the movemask; the
+// evals below then touch ONLY set bits — typical frames quantize
+// ~90% of ACs to zero, so this is the difference between 113k scalar
+// loop iterations per eval and ~5-15k.
+static inline uint64_t bs_nz_mask64(const int16_t *blk,
+                                    const int16_t *thrm1) {
+#ifdef BS_HAVE_AVX2
+    uint64_t mask = 0;
+    for (int g = 0; g < 4; g++) {
+        __m256i av = _mm256_abs_epi16(
+            _mm256_loadu_si256((const __m256i *)(blk + g * 16)));
+        __m256i tv = _mm256_loadu_si256((const __m256i *)(thrm1 + g * 16));
+        __m256i gt = _mm256_cmpgt_epi16(av, tv);      // a > thr-1
+        uint32_t mm = (uint32_t)_mm256_movemask_epi8(gt);
+        mask |= (uint64_t)_pext_u32(mm, 0xAAAAAAAAu) << (16 * g);
+    }
+    return mask;
+#else
+    uint64_t mask = 0;
+    for (int i = 1; i < 64; i++) {
+        int32_t a = blk[i];
+        a = a < 0 ? -a : a;
+        mask |= (uint64_t)(a > thrm1[i]) << i;
+    }
+    return mask;
+#endif
+}
+
+// Fill thrm1[64] for scale s: thrm1[i] = (d - d/2) - 1 at raw index i.
+static void bs_fill_thrm1(int16_t *thrm1, int s) {
+    thrm1[0] = 0x7FFF;
+    for (int i = 1; i < 64; i++) {
+        int32_t d = bs_quant[bs_zagzig[i]] * s;
+        thrm1[i] = (int16_t)((d - (d >> 1)) - 1);
+    }
+}
+
 // Monotone ladder lower bound on a frame's AC bit total at scale s —
 // the scalar transcription of ops/bs_pallas.py::ladder_lb (validity,
 // safety and monotonicity proofs + pins live there/tests). Early-aborts
 // once the running total exceeds thr (only feasibility is consumed).
 static bool bs_lb_feasible(const int16_t *czz, long nb, int s, long thr) {
-    int32_t t1[63], t2[63], t3[63], t4[63], t5[63], t7[63];
-    for (int p = 0; p < 63; p++) {
-        int32_t d = bs_quant[bs_zagzig[p + 1]] * s;
+    int16_t thrm1[64];
+    int32_t t2[64], t3[64], t4[64], t5[64], t7[64];
+    bs_fill_thrm1(thrm1, s);
+    for (int i = 1; i < 64; i++) {
+        int32_t d = bs_quant[bs_zagzig[i]] * s;
         int32_t half = d >> 1;
-        t1[p] = d - half; t2[p] = 2 * d - half; t3[p] = 3 * d - half;
-        t4[p] = 4 * d - half; t5[p] = 5 * d - half; t7[p] = 7 * d - half;
+        t2[i] = 2 * d - half; t3[i] = 3 * d - half;
+        t4[i] = 4 * d - half; t5[i] = 5 * d - half; t7[i] = 7 * d - half;
     }
     long total = 0;
     for (long n = 0; n < nb; n++) {
         const int16_t *c = czz + n * 64;
-        int run = 0;
-        for (int p = 0; p < 63; p++) {
-            int32_t a = c[p + 1];
+        uint64_t mask = bs_nz_mask64(c, thrm1);
+        int prev = 0;
+        while (mask) {
+            int i = __builtin_ctzll(mask);
+            mask &= mask - 1;
+            int run = i - prev - 1;
+            prev = i;
+            int32_t a = c[i];
             a = a < 0 ? -a : a;
-            if (a < t1[p]) { run++; continue; }
-            int c2 = a >= t2[p], c3 = a >= t3[p];
-            int lb = 3 + 2 * c2 + c3 + 2 * (a >= t4[p]) + (a >= t5[p])
-                     + 2 * (a >= t7[p]);
+            int c2 = a >= t2[i], c3 = a >= t3[i];
+            int lb = 3 + 2 * c2 + c3 + 2 * (a >= t4[i]) + (a >= t5[i])
+                     + 2 * (a >= t7[i]);
             int g = (run < 3 ? run : 3) + (run >= 5) + (run >= 8)
                     + (run >= 10) + 2 * (run >= 14) + (run >= 17);
             int bonus = (run >= 1 ? c2 + c3 : 0) + g;
             total += lb + bonus;
-            run = 0;
         }
         if (total > thr) return false;
     }
@@ -643,27 +695,32 @@ static bool bs_lb_feasible(const int16_t *czz, long nb, int s, long thr) {
 // when the returned total <= thr, i.e. no abort fired).
 static long bs_exact_ac_bits(const int16_t *czz, long nb, int s, long thr,
                              long *nz_out) {
-    int32_t dv[63], hv[63];
-    for (int p = 0; p < 63; p++) {
-        dv[p] = bs_quant[bs_zagzig[p + 1]] * s;
-        hv[p] = dv[p] >> 1;
+    int16_t thrm1[64];
+    int32_t dv[64], hv[64];
+    bs_fill_thrm1(thrm1, s);
+    for (int i = 1; i < 64; i++) {
+        dv[i] = bs_quant[bs_zagzig[i]] * s;
+        hv[i] = dv[i] >> 1;
     }
     long total = 0, nz = 0;
     for (long n = 0; n < nb; n++) {
         const int16_t *c = czz + n * 64;
-        int run = 0;
-        for (int p = 0; p < 63; p++) {
-            int32_t a = c[p + 1];
+        uint64_t mask = bs_nz_mask64(c, thrm1);
+        nz += __builtin_popcountll(mask);
+        int prev = 0;
+        while (mask) {
+            int i = __builtin_ctzll(mask);
+            mask &= mask - 1;
+            int run = i - prev - 1;
+            prev = i;
+            int32_t a = c[i];
             a = a < 0 ? -a : a;
-            int32_t t = a + hv[p];
-            if (t < dv[p]) { run++; continue; }
-            int32_t m = t / dv[p];
+            int32_t m = (a + hv[i]) / dv[i];
             // |mag| <= 513 here (|coef| <= 8192 for real pixels, AC
             // quant >= 16), below the negative-key region of the LUT,
             // and bits are sign-symmetric.
-            total += bs_ac_bits[((uint32_t)run << 10) | ((uint32_t)m & 0x3FF)];
-            nz++;
-            run = 0;
+            total += bs_ac_bits[((uint32_t)run << 10)
+                                | ((uint32_t)m & 0x3FF)];
         }
         if (total > thr) return total;
     }
@@ -840,26 +897,32 @@ static void bs_encode_one_frame(const uint8_t *frame, int width, int height,
     *total_out = (int32_t)(ac_bits + dc_total + 2 * nb + 10);
     *nz_out = (int32_t)nz;
 
-    // --- emission at the winning scale + 16-bit MSB-first packing.
-    int32_t dv[63], hv[63];
-    for (int p = 0; p < 63; p++) {
-        dv[p] = bs_quant[bs_zagzig[p + 1]] * scale;
-        hv[p] = dv[p] >> 1;
+    // --- emission at the winning scale + 16-bit MSB-first packing
+    // (nz-mask pass like the evals: only surviving ACs pay the divide).
+    int16_t thrm1[64];
+    int32_t dv[64], hv[64];
+    bs_fill_thrm1(thrm1, scale);
+    for (int i = 1; i < 64; i++) {
+        dv[i] = bs_quant[bs_zagzig[i]] * scale;
+        hv[i] = dv[i] >> 1;
     }
     bs_bitpack bp{words, cap_words};
-    for (long i = 0; i < nb; i++) {
-        bp.put(dcc[i], dcb[i]);
-        const int16_t *c = czz + i * 64;
-        int run = 0;
-        for (int p = 0; p < 63; p++) {
-            int32_t v = c[p + 1];
+    for (long n = 0; n < nb; n++) {
+        bp.put(dcc[n], dcb[n]);
+        const int16_t *c = czz + n * 64;
+        uint64_t mask = bs_nz_mask64(c, thrm1);
+        int prev = 0;
+        while (mask) {
+            int i = __builtin_ctzll(mask);
+            mask &= mask - 1;
+            int run = i - prev - 1;
+            prev = i;
+            int32_t v = c[i];
             int32_t a = v < 0 ? -v : v;
-            if (a + hv[p] < dv[p]) { run++; continue; }  // quantizes to 0
-            int32_t m = (a + hv[p]) / dv[p];
+            int32_t m = (a + hv[i]) / dv[i];
             int32_t q = bs_clamp_coeff(v < 0 ? -m : m);
             uint32_t key = ((uint32_t)run << 10) | ((uint32_t)q & 0x3FF);
             bp.put(bs_ac_code[key], bs_ac_bits[key]);
-            run = 0;
         }
         bp.put(0x2, 2);                            // end-of-block
     }
