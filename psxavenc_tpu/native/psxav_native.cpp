@@ -860,11 +860,25 @@ static void bs_encode_one_frame(const uint8_t *frame, int width, int height,
             ac_bits = b_sl;
             nz = nz_sl;
         } else {
+            // Galloping bisect from the seed (the kernel's bs_body):
+            // probes step outward with doubling strides while a
+            // bracket side is still a sentinel, so a +/-1 scale drift
+            // costs ~2 LB evals instead of a full log2(63) bisect.
             int lo = below ? slm : 0, hi = below ? 64 : slm;
+            int probe = below ? sl : slm - 1, step = 1;
+            if (probe < lo + 1) probe = lo + 1;
+            if (probe > hi - 1) probe = hi - 1;
             while (hi - lo > 1) {                  // LB lower bound
-                int mid = (lo + hi) >> 1;
-                if (bs_lb_feasible(czz, nb, mid, thr)) hi = mid;
-                else lo = mid;
+                if (bs_lb_feasible(czz, nb, probe, thr)) hi = probe;
+                else lo = probe;
+                bool gdn = lo == 0 && hi < 64;
+                bool gup = hi == 64 && lo > 0;
+                int nxt = gdn ? hi - step
+                              : (gup ? lo + step : (lo + hi) >> 1);
+                if (gdn || gup) step *= 2;
+                if (nxt < lo + 1) nxt = lo + 1;
+                if (nxt > hi - 1) nxt = hi - 1;
+                probe = nxt;
             }
             int s0 = (!efit && hi == sl) ? sl + 1 : hi;
             if (efit && hi == sl) {                // reuse the probe
