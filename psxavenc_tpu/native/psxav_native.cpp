@@ -594,6 +594,88 @@ static void bs_fdct_block(int32_t d[64]) {
     for (int c = 0; c < 8; c++) bs_fdct_pass(d + c, 8, false);
 }
 
+// SoA variant: 8 blocks ride the minor axis (lanes), the same layout
+// the Pallas kernels use with blocks on lanes (ops/fdct.py fdct_rows).
+// Every butterfly line is a fixed 8-int32 loop over distinct soa rows,
+// which -O3 -march=native turns into single vector ops — no transposes
+// needed. Bit-identical to bs_fdct_block per lane.
+#define BS_SOA 8
+typedef int32_t bs_vrow[BS_SOA];
+
+static inline void bs_fdct_pass_soa(bs_vrow *v, int stride, bool pass1) {
+    const int descale_bits =
+        pass1 ? BS_CONST_BITS - BS_PASS1_BITS : BS_CONST_BITS + BS_PASS1_BITS;
+    const int32_t drnd = 1 << (descale_bits - 1);
+    const int32_t prnd = 1 << (BS_PASS1_BITS - 1);
+    for (int b = 0; b < BS_SOA; b++) {
+        int32_t d0 = v[0][b], d1 = v[stride][b], d2 = v[2 * stride][b],
+                d3 = v[3 * stride][b], d4 = v[4 * stride][b],
+                d5 = v[5 * stride][b], d6 = v[6 * stride][b],
+                d7 = v[7 * stride][b];
+        int32_t tmp0 = d0 + d7, tmp7 = d0 - d7;
+        int32_t tmp1 = d1 + d6, tmp6 = d1 - d6;
+        int32_t tmp2 = d2 + d5, tmp5 = d2 - d5;
+        int32_t tmp3 = d3 + d4, tmp4 = d3 - d4;
+        int32_t tmp10 = tmp0 + tmp3, tmp13 = tmp0 - tmp3;
+        int32_t tmp11 = tmp1 + tmp2, tmp12 = tmp1 - tmp2;
+
+        int32_t out0, out4;
+        if (pass1) {
+            out0 = bs_shl(tmp10 + tmp11, BS_PASS1_BITS);
+            out4 = bs_shl(tmp10 - tmp11, BS_PASS1_BITS);
+        } else {
+            out0 = (tmp10 + tmp11 + prnd) >> BS_PASS1_BITS;
+            out4 = (tmp10 - tmp11 + prnd) >> BS_PASS1_BITS;
+        }
+        int32_t z1 = (tmp12 + tmp13) * 4433;
+        int32_t out2 = (z1 + tmp13 * 6270 + drnd) >> descale_bits;
+        int32_t out6 = (z1 - tmp12 * 15137 + drnd) >> descale_bits;
+
+        z1 = tmp4 + tmp7;
+        int32_t z2 = tmp5 + tmp6;
+        int32_t z3 = tmp4 + tmp6;
+        int32_t z4 = tmp5 + tmp7;
+        int32_t z5 = (z3 + z4) * 9633;
+        int32_t t4 = tmp4 * 2446;
+        int32_t t5 = tmp5 * 16819;
+        int32_t t6 = tmp6 * 25172;
+        int32_t t7 = tmp7 * 12299;
+        z1 = z1 * -7373;
+        z2 = z2 * -20995;
+        z3 = z3 * -16069 + z5;
+        z4 = z4 * -3196 + z5;
+        int32_t out7 = (t4 + z1 + z3 + drnd) >> descale_bits;
+        int32_t out5 = (t5 + z2 + z4 + drnd) >> descale_bits;
+        int32_t out3 = (t6 + z2 + z3 + drnd) >> descale_bits;
+        int32_t out1 = (t7 + z1 + z4 + drnd) >> descale_bits;
+
+        if (pass1) {
+            v[0][b] = bs_wrap16(out0);
+            v[stride][b] = bs_wrap16(out1);
+            v[2 * stride][b] = bs_wrap16(out2);
+            v[3 * stride][b] = bs_wrap16(out3);
+            v[4 * stride][b] = bs_wrap16(out4);
+            v[5 * stride][b] = bs_wrap16(out5);
+            v[6 * stride][b] = bs_wrap16(out6);
+            v[7 * stride][b] = bs_wrap16(out7);
+        } else {
+            v[0][b] = out0;
+            v[stride][b] = out1;
+            v[2 * stride][b] = out2;
+            v[3 * stride][b] = out3;
+            v[4 * stride][b] = out4;
+            v[5 * stride][b] = out5;
+            v[6 * stride][b] = out6;
+            v[7 * stride][b] = out7;
+        }
+    }
+}
+
+static void bs_fdct_soa8(bs_vrow soa[64]) {
+    for (int r = 0; r < 8; r++) bs_fdct_pass_soa(soa + 8 * r, 1, true);
+    for (int c = 0; c < 8; c++) bs_fdct_pass_soa(soa + c, 8, false);
+}
+
 // round(n/d) half away from zero, exact integers (mdec.c:438).
 static inline int32_t bs_div_rounded(int32_t n, int32_t d) {
     int32_t an = n < 0 ? -n : n;
@@ -771,34 +853,48 @@ static void bs_encode_one_frame(const uint8_t *frame, int width, int height,
     const int cw = width / 2;
 
     // --- rearrange + FDCT + zigzag store (once per frame; the
-    // reference re-runs this per scale retry, mdec.c:640-643).
-    long n = 0;
-    for (int mx = 0; mx < mb_x; mx++) {
-        for (int my = 0; my < mb_y; my++) {
-            for (int p = 0; p < 6; p++, n++) {
-                int32_t d[64];
-                if (p < 2) {                       // Cr then Cb
-                    for (int r = 0; r < 8; r++)
-                        for (int c = 0; c < 8; c++)
-                            d[8 * r + c] =
-                                (int32_t)cp[((my * 8 + r) * cw +
-                                             (mx * 8 + c)) * 2 + p] - 128;
-                } else {                           // Y quadrants
-                    int a = (p - 2) >> 1, b = (p - 2) & 1;
-                    const uint8_t *yb =
-                        yp + (long)(my * 16 + a * 8) * width + mx * 16 +
-                        b * 8;
-                    for (int r = 0; r < 8; r++)
-                        for (int c = 0; c < 8; c++)
-                            d[8 * r + c] =
-                                (int32_t)yb[(long)r * width + c] - 128;
-                }
-                bs_fdct_block(d);
-                int16_t *dst = czz + n * 64;
-                for (int pos = 0; pos < 64; pos++)
-                    dst[pos] = (int16_t)d[bs_zagzig[pos]];
-            }
+    // reference re-runs this per scale retry, mdec.c:640-643). Blocks
+    // run 8 at a time through the SoA FDCT (lanes = blocks); the tail
+    // takes the scalar path. Encode order n = (mx*mb_y + my)*6 + p.
+    auto gather = [&](long n, int32_t *d, int lane, int stride) {
+        int p = (int)(n % 6);
+        long m = n / 6;
+        int my = (int)(m % mb_y), mx = (int)(m / mb_y);
+        if (p < 2) {                               // Cr then Cb
+            for (int r = 0; r < 8; r++)
+                for (int c = 0; c < 8; c++)
+                    d[(8 * r + c) * stride + lane] =
+                        (int32_t)cp[((my * 8 + r) * cw +
+                                     (mx * 8 + c)) * 2 + p] - 128;
+        } else {                                   // Y quadrants
+            int a = (p - 2) >> 1, b = (p - 2) & 1;
+            const uint8_t *yb = yp + (long)(my * 16 + a * 8) * width +
+                                mx * 16 + b * 8;
+            for (int r = 0; r < 8; r++)
+                for (int c = 0; c < 8; c++)
+                    d[(8 * r + c) * stride + lane] =
+                        (int32_t)yb[(long)r * width + c] - 128;
         }
+    };
+    long n = 0;
+    bs_vrow soa[64];
+    for (; n + BS_SOA <= nb; n += BS_SOA) {
+        for (int b = 0; b < BS_SOA; b++)
+            gather(n + b, &soa[0][0], b, BS_SOA);
+        bs_fdct_soa8(soa);
+        for (int b = 0; b < BS_SOA; b++) {
+            int16_t *dst = czz + (n + b) * 64;
+            for (int pos = 0; pos < 64; pos++)
+                dst[pos] = (int16_t)soa[bs_zagzig[pos]][b];
+        }
+    }
+    for (; n < nb; n++) {
+        int32_t d[64];
+        gather(n, d, 0, 1);
+        bs_fdct_block(d);
+        int16_t *dst = czz + n * 64;
+        for (int pos = 0; pos < 64; pos++)
+            dst[pos] = (int16_t)d[bs_zagzig[pos]];
     }
 
     // --- scale-independent DC stage (quant by 8*quant[0] = 16,
