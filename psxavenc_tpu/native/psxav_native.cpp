@@ -212,22 +212,34 @@ void psxn_adpcm_encode_units(const int16_t *units, const int32_t *limits,
             // find_min_shift per filter: residuals with RAW history
             // (no quantization feedback), smallest right-shift keeping
             // them in range with one-step clip allowed (adpcm.c:39-79).
-            int min_shift_f[5];
-            for (int f = 0; f < filter_count; f++) {
-                const int32_t k1 = adpcm_k1[f], k2 = adpcm_k2[f];
+            // Filters ride 8 lanes; the raw history (p1, p2) is shared,
+            // so the scan body is pure elementwise ops.
+            int32_t s_min8[8], s_max8[8], k1_8[8], k2_8[8];
+            for (int f = 0; f < 8; f++) {
+                s_min8[f] = 0;
+                s_max8[f] = 0;
+                k1_8[f] = adpcm_k1[f < filter_count ? f : 0];
+                k2_8[f] = adpcm_k2[f < filter_count ? f : 0];
+            }
+            {
                 int32_t p1 = prev1, p2 = prev2;
-                int32_t s_min = 0, s_max = 0;
                 for (int i = 0; i < 28; i++) {
-                    int32_t r = raw[i] - adpcm_predict(k1, k2, p1, p2);
-                    if (r < s_min) s_min = r;
-                    if (r > s_max) s_max = r;
+                    for (int f = 0; f < 8; f++) {
+                        int32_t r = raw[i] -
+                            ((k1_8[f] * p1 + k2_8[f] * p2 + 32) >> 6);
+                        if (r < s_min8[f]) s_min8[f] = r;
+                        if (r > s_max8[f]) s_max8[f] = r;
+                    }
                     p2 = p1;
                     p1 = raw[i];
                 }
+            }
+            int min_shift_f[5];
+            for (int f = 0; f < filter_count; f++) {
                 int right_shift = 0;
                 while (right_shift < shift_range &&
-                       ((s_max >> right_shift) > max_e ||
-                        (s_min >> right_shift) < min_e))
+                       ((s_max8[f] >> right_shift) > max_e ||
+                        (s_min8[f] >> right_shift) < min_e))
                     right_shift++;
                 min_shift_f[f] = shift_range - right_shift;
             }
