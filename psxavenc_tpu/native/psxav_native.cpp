@@ -200,6 +200,27 @@ void psxn_adpcm_encode_units(const int16_t *units, const int32_t *limits,
     const int32_t max_e = 0x7FFF >> shift_range;
     const int C = filter_count * 3;            // <= 15
 
+    // Rows are independent streams (state threads along T only), so
+    // on multicore hosts they fan out across threads; the per-row body
+    // is unchanged and order-free.
+    long hw = (long)std::thread::hardware_concurrency();
+    long nth = hw > 0 ? (hw < B ? hw : B) : 1;
+    if (nth > 1) {
+        std::vector<std::thread> ths;
+        for (long t = 0; t < nth; t++)
+            ths.emplace_back([&, t]() {
+                for (long b = t; b < B; b += nth)
+                    psxn_adpcm_encode_units(
+                        units + b * T * 28, limits + b * T,
+                        state12 + b * 2, headers + b * T,
+                        nibbles + b * T * 28, s1_out + b * T,
+                        s2_out + b * T, 1, T, filter_count,
+                        shift_range);
+            });
+        for (auto &th : ths) th.join();
+        return;
+    }
+
     for (long b = 0; b < B; b++) {
         int32_t prev1 = state12[b * 2], prev2 = state12[b * 2 + 1];
         for (long t = 0; t < T; t++) {
