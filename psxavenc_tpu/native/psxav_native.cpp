@@ -921,7 +921,9 @@ static void bs_encode_one_frame(const uint8_t *frame, int width, int height,
                 dst[pos] = (int16_t)soa[bs_zagzig[pos]][b];
         }
     }
-    for (; n < nb; n++) {
+    // Tail (nb % 8 blocks; nb = mb_x*mb_y*6 is bounded by the frame
+    // geometry — the long count is only for pointer math).
+    for (long rem = nb - n; rem > 0; rem--, n++) {
         int32_t d[64];
         gather(n, d, 0, 1);
         bs_fdct_block(d);
