@@ -154,9 +154,16 @@ def bs_encode_frames(frames, budgets, *, codec, width, height,
     (callers raise, mdec.c:723 parity). Frames fan out over host
     threads (the v3 DC chain is per-frame state, so frames stay
     independent)."""
+    if width % 16 or height % 16 or width <= 0 or height <= 0:
+        raise ValueError("frame geometry must be positive multiples of "
+                         f"16, got {width}x{height}")
     frames = np.ascontiguousarray(frames, dtype=np.uint8)
     B = frames.shape[0]
+    if frames.ndim != 2 or frames.shape[1] != width * height * 3 // 2:
+        raise ValueError("frames must be (B, w*h*3/2) NV21 bytes")
     budgets = np.ascontiguousarray(budgets, dtype=np.int32)
+    if budgets.shape != (B,):
+        raise ValueError("budgets must be (B,)")
     words = np.zeros((B, capacity_words), np.uint16)
     scale = np.zeros(B, np.int32)
     total_bits = np.zeros(B, np.int32)
