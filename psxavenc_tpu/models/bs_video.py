@@ -19,6 +19,43 @@ from .. import api
 from ..ops import bs as bs_ops
 
 
+def _stack_frames(frames, pad_to):
+    """(list of per-frame byte rows) -> (pad_to, frame_bytes) uint8.
+
+    Zero-copy fast path: when the frames are exactly consecutive rows
+    of one C-contiguous 2-D array (the whole-file ingest layout), the
+    batch IS a slice of that array — no 50+ MB stack copy. This host
+    class faults in fresh allocations at ~100 MB/s, which made np.stack
+    cost more than the entire native encode; any padding, reordering or
+    mixed sources falls back to the copy."""
+    n = len(frames)
+    f0 = frames[0]
+    if (pad_to == n and isinstance(f0, np.ndarray) and f0.ndim == 1
+            and f0.nbytes > 0 and f0.flags["C_CONTIGUOUS"]):
+        # Ultimate bases collapse to the backing allocation; every row
+        # must live in THAT allocation at exactly addr0 + j*fsz for the
+        # strided view below to be in-bounds memory.
+        ub = f0.base if f0.base is not None else f0
+        addr0 = f0.__array_interface__["data"][0]
+        fsz = f0.nbytes
+        ok = True
+        for j, f in enumerate(frames):
+            if (not isinstance(f, np.ndarray) or f.ndim != 1
+                    or f.nbytes != fsz or f.dtype != f0.dtype
+                    or (f.base if f.base is not None else f) is not ub
+                    or f.__array_interface__["data"][0]
+                    != addr0 + j * fsz):
+                ok = False
+                break
+        if ok:
+            return np.lib.stride_tricks.as_strided(
+                f0, shape=(n, f0.shape[0]),
+                strides=(fsz, f0.itemsize), writeable=False)
+    rows = [np.asarray(f) for f in frames]
+    rows += [rows[-1]] * (pad_to - n)
+    return np.stack(rows)
+
+
 class BsFrameEncoder:
     """Stateful frame encoder (frame index, quant-scale stats) matching
     mdec_encoder_t's observable behavior, with chunk-batched device work."""
@@ -131,12 +168,11 @@ class BsFrameEncoder:
 
         def launch(base):
             ids = list(range(base, min(base + gran, n)))
-            pad = gran - len(ids)
-            fr = np.stack([np.asarray(frames_nv21[i]) for i in ids]
-                          + [np.asarray(frames_nv21[ids[-1]])] * pad)
+            fr = _stack_frames([frames_nv21[i] for i in ids], gran)
             budgets = np.array(
                 [frame_max_sizes[i] for i in ids]
-                + [frame_max_sizes[ids[-1]]] * pad, np.int32)
+                + [frame_max_sizes[ids[-1]]] * (gran - len(ids)),
+                np.int32)
             if self._tier == "native":
                 out = self._native.bs_encode_frames(
                     fr, budgets, codec=self.codec, width=self.width,
@@ -198,11 +234,9 @@ class BsFrameEncoder:
         gran = -(-gran // n_dev) * n_dev if n_dev > 1 else gran
         if self._tier == "native":
             gran = n                     # no shape buckets, no pad waste
-        pad = gran - n
-        fr = np.stack([np.asarray(f) for f in frames_nv21]
-                      + [np.asarray(frames_nv21[-1])] * pad)
+        fr = _stack_frames(list(frames_nv21), gran)
         budgets = np.array(list(frame_max_sizes)
-                           + [frame_max_sizes[-1]] * pad, np.int32)
+                           + [frame_max_sizes[-1]] * (gran - n), np.int32)
         if self._tier == "native":
             out = self._native.bs_encode_frames(
                 fr, budgets, codec=self.codec, width=self.width,
