@@ -76,46 +76,48 @@ def encode_file_spu(args, dec, output, unit_encoder=None):
             // (SAMPLES_PER_BLOCK * 1000)
 
     # Drive the windowing state machine (counts only) to reproduce
-    # per-block flags; samples pull in chunks from the source.
+    # per-block flags; samples pull in chunks from the source. Bulk
+    # drain: the per-block Python loop cost ~25x the actual encode.
     source = ingest.source_for(dec)
-    chunk_lengths = []
-    while dec.ensure_av_data(SAMPLES_PER_BLOCK, 0):
-        ln = min(dec.audio_sample_count, SAMPLES_PER_BLOCK)
-        chunk_lengths.append((ln, dec.end_of_input))
-        dec.retire_av_data(ln, 0)
+    block_lens, block_eois = ingest.drain_audio_blocks(
+        dec, SAMPLES_PER_BLOCK)
 
     # Batch-runner capture/replay expects one unit encode per file;
     # chunk-batching encoders (batch.py streaming tier) keep the bounded
     # chunk feed so concurrent jobs' chunks share device calls.
     whole_file = (unit_encoder is not streams.encode_unit_streams
                   and not getattr(unit_encoder, "chunked", False))
-    group = len(chunk_lengths) if whole_file else SPU_CHUNK_BLOCKS
+    group = len(block_lens) if whole_file else SPU_CHUNK_BLOCKS
     progress = Progress(args)
+    quiet = bool(args.flags & ca.FLAG_HIDE_PROGRESS)
     prev1 = prev2 = None
     base = 0
-    while base < len(chunk_lengths):
-        part = chunk_lengths[base:base + group]
-        pcm = source.take_audio(int(sum(ln for ln, _ in part)))
-        offsets, limits = streams.chunk_unit_layout(
-            [ln for ln, _ in part])
+    while base < len(block_lens):
+        lens = block_lens[base:base + group]
+        eois = block_eois[base:base + group]
+        pcm = source.take_audio(int(lens.sum()))
+        offsets, limits = streams.chunk_unit_layout(lens)
         headers, nibbles, prev1, prev2 = unit_encoder(
             pcm.astype(np.int32)[None, :], offsets[None], limits[None],
             ops.SPU_FILTER_COUNT, ops.SHIFT_RANGE_4BPS, prev1=prev1,
             prev2=prev2)
-        flags = np.zeros(len(part), dtype=np.uint8)
-        for t, (_, eoi) in enumerate(part):
-            if block_count + t == loop_start_block:
-                flags[t] |= LOOP_START
-            if (args.flags & ca.FLAG_SPU_ENABLE_LOOP) and eoi:
-                flags[t] |= LOOP_REPEAT
+        flags = np.zeros(len(lens), dtype=np.uint8)
+        if args.flags & ca.FLAG_SPU_ENABLE_LOOP:
+            flags[eois] |= LOOP_REPEAT
+        ls = loop_start_block - block_count
+        if 0 <= ls < len(lens):
+            flags[ls] |= LOOP_START
         blocks = streams.pack_spu_blocks(headers[0], nibbles[0], flags)
-        for t in range(blocks.shape[0]):
-            output.write(blocks[t].tobytes())
-            # Pre-increment counter, like the reference's for-increment
-            # (filefmt.c:237,259-268).
-            progress.print_spu(block_count, args.audio_frequency)
-            block_count += 1
-        base += len(part)
+        output.write(blocks.tobytes())
+        if quiet:
+            block_count += blocks.shape[0]
+        else:
+            for _ in range(blocks.shape[0]):
+                # Pre-increment counter, like the reference's
+                # for-increment (filefmt.c:237,259-268).
+                progress.print_spu(block_count, args.audio_frequency)
+                block_count += 1
+        base += len(lens)
 
     if not (args.flags & ca.FLAG_SPU_ENABLE_LOOP):
         trap = bytearray(BLOCK_SIZE)

@@ -104,6 +104,32 @@ class Decoder:
         self.video_pos = 0
         self.end_of_input = False
 
+    def drain_audio_blocks(self, block_samples):
+        """Closed form of the per-block ensure/retire drain (the whole
+        file is already decoded, so the window walk is arithmetic):
+        equivalent to repeating ``ensure_av_data(block, 0)`` /
+        ``retire_av_data(min(count, block), 0)`` until ensure fails.
+        Returns (lengths, end_of_input flags) per block and leaves the
+        window state exactly as the loop would (all audio retired,
+        end_of_input set). The flag flips when the remaining count
+        first fails to EXCEED the need (decoding.c:510-534), i.e. on
+        the block with <= block_samples remaining."""
+        a0 = self.audio_sample_count
+        was_eoi = self.end_of_input
+        if a0 <= 0:
+            if block_samples > 0:
+                self.end_of_input = True
+            return (np.zeros(0, np.int64), np.zeros(0, bool))
+        nb = -(-a0 // block_samples)
+        lens = np.full(nb, block_samples, np.int64)
+        lens[-1] = a0 - (nb - 1) * block_samples
+        remaining_before = a0 - block_samples * np.arange(nb,
+                                                          dtype=np.int64)
+        eois = was_eoi | (remaining_before <= block_samples)
+        self.audio_pos += a0
+        self.end_of_input = True
+        return lens, eois
+
 
 class StreamingDecoder:
     """O(1)-memory ingest for long video encodes (str/strcd/strv/sbs).
@@ -282,6 +308,24 @@ class WholeFileSource:
 def source_for(dec):
     """The incremental data source for a decoder (itself if streaming)."""
     return dec if hasattr(dec, "take_frames") else WholeFileSource(dec)
+
+
+def drain_audio_blocks(dec, block_samples):
+    """Per-block windowing drain shared by the SPU muxer: (lengths,
+    end_of_input) arrays for fixed-size audio pulls. Whole-file decoders
+    answer in closed form (Decoder.drain_audio_blocks); streaming tiers
+    run the real ensure/retire loop (each ensure may decode more
+    input)."""
+    fast = getattr(dec, "drain_audio_blocks", None)
+    if fast is not None:
+        return fast(block_samples)
+    lens, eois = [], []
+    while dec.ensure_av_data(block_samples, 0):
+        ln = min(dec.audio_sample_count, block_samples)
+        lens.append(ln)
+        eois.append(dec.end_of_input)
+        dec.retire_av_data(ln, 0)
+    return (np.asarray(lens, np.int64), np.asarray(eois, bool))
 
 
 def _q15_mix(samples, matrix):

@@ -36,16 +36,20 @@ def chunk_unit_layout(chunk_lengths):
     the next sample — the unit grid is NOT globally 28-aligned
     (adpcm.c:366, filefmt.c:319-341).
     """
-    offsets, limits = [], []
-    pos = 0
-    for ln in chunk_lengths:
-        u = 0
-        while u < ln:
-            offsets.append(pos + u)
-            limits.append(min(ln - u, SAMPLES_PER_UNIT))
-            u += SAMPLES_PER_UNIT
-        pos += ln
-    return np.asarray(offsets, np.int64), np.asarray(limits, np.int64)
+    lens = np.asarray(chunk_lengths, np.int64)
+    nunits = -(-lens // SAMPLES_PER_UNIT)           # ceil; 0 for ln == 0
+    pos = np.concatenate([[0], np.cumsum(lens)[:-1]]) if lens.size \
+        else np.zeros(0, np.int64)
+    total = int(nunits.sum())
+    # Unit u's index within its chunk: global arange minus the chunk's
+    # first-unit index, repeated per unit.
+    first = np.concatenate([[0], np.cumsum(nunits)[:-1]]) if lens.size \
+        else np.zeros(0, np.int64)
+    k = np.arange(total, dtype=np.int64) - np.repeat(first, nunits)
+    offsets = np.repeat(pos, nunits) + SAMPLES_PER_UNIT * k
+    limits = np.minimum(np.repeat(lens, nunits) - SAMPLES_PER_UNIT * k,
+                        SAMPLES_PER_UNIT)
+    return offsets, limits
 
 
 def uniform_unit_layout(total_units, samples_available):
