@@ -328,12 +328,26 @@ def gather_units(channel_samples, offsets, limits):
     channel_samples = np.asarray(channel_samples)
     B, N = channel_samples.shape
     T = offsets.shape[1]
+    lim = np.clip(limits, -(1 << 30), SAMPLES_PER_UNIT).astype(np.int32)
+    # Uniform 28-grid fast path (the XA layout always, and the SPU
+    # whole-file layout whose chunks are all full blocks): the gather is
+    # a reshape, with the index clip's repeat-last-sample semantics
+    # reproduced for the tail pad. The general take_along_axis gather
+    # cost ~4x the native encode itself.
+    grid = SAMPLES_PER_UNIT * np.arange(T, dtype=np.int64)
+    if N > 0 and offsets.shape == (B, T) and \
+            np.array_equal(offsets, np.broadcast_to(grid, (B, T))):
+        cs = channel_samples.astype(np.int32)
+        need = T * SAMPLES_PER_UNIT
+        if need > N:
+            pad = np.repeat(cs[:, N - 1:N], need - N, axis=1)
+            cs = np.concatenate([cs, pad], axis=1)
+        return cs[:, :need].reshape(B, T, SAMPLES_PER_UNIT), lim
     idx = offsets[..., None] + np.arange(SAMPLES_PER_UNIT, dtype=np.int64)
     idx = np.clip(idx, 0, max(N - 1, 0))
     units = np.take_along_axis(
         channel_samples.astype(np.int32),
         idx.reshape(B, -1), axis=1).reshape(B, T, SAMPLES_PER_UNIT)
-    lim = np.clip(limits, -(1 << 30), SAMPLES_PER_UNIT).astype(np.int32)
     return units, lim
 
 
