@@ -39,6 +39,51 @@ def test_exact_multiple_flags_eoi_on_last_block():
     assert not dec.ensure_av_data(28, 0)
 
 
+def test_drain_audio_blocks_matches_loop():
+    """The whole-file decoder's closed-form drain equals the real
+    ensure/retire loop — lengths, eoi flags, AND end state — across the
+    edge cases (exact multiple, sub-block file, empty, pre-set eoi)."""
+    def by_loop(n, eoi0=False):
+        dec = ingest.Decoder()
+        dec.audio = np.zeros(n, np.int16)
+        dec.end_of_input = eoi0
+        lens, eois = [], []
+        while dec.ensure_av_data(28, 0):
+            ln = min(dec.audio_sample_count, 28)
+            lens.append(ln)
+            eois.append(dec.end_of_input)
+            dec.retire_av_data(ln, 0)
+        return (np.asarray(lens, np.int64), np.asarray(eois, bool),
+                dec.audio_pos, dec.end_of_input)
+
+    for n in (0, 1, 27, 28, 29, 56, 100, 28 * 17):
+        for eoi0 in (False, True):
+            dec = ingest.Decoder()
+            dec.audio = np.zeros(n, np.int16)
+            dec.end_of_input = eoi0
+            lens, eois = dec.drain_audio_blocks(28)
+            ref = by_loop(n, eoi0)
+            assert np.array_equal(lens, ref[0]), (n, eoi0)
+            assert np.array_equal(eois, ref[1]), (n, eoi0)
+            assert dec.audio_pos == ref[2] and \
+                dec.end_of_input == ref[3], (n, eoi0)
+    # The generic helper routes streaming-style decoders (no fast
+    # method) through the loop.
+    class LoopOnly:
+        def __init__(self):
+            self.inner = ingest.Decoder()
+            self.inner.audio = np.zeros(100, np.int16)
+        ensure_av_data = property(lambda s: s.inner.ensure_av_data)
+        retire_av_data = property(lambda s: s.inner.retire_av_data)
+        audio_sample_count = property(
+            lambda s: s.inner.audio_sample_count)
+        end_of_input = property(lambda s: s.inner.end_of_input)
+
+    lens, eois = ingest.drain_audio_blocks(LoopOnly(), 28)
+    assert lens.tolist() == [28, 28, 28, 16]
+    assert eois.tolist() == [False, False, False, True]
+
+
 def test_cfr_dup_and_drop():
     frames = [np.full(4, i, np.uint8) for i in range(5)]
     # 5 fps input to 15 fps target: each frame duplicated 3x (2 dupes).
