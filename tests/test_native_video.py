@@ -183,6 +183,28 @@ def test_frame_encoder_native_async(monkeypatch):
         assert ig == iw and np.array_equal(bg, bw)
 
 
+def test_stack_frames_zero_copy_and_fallbacks():
+    """The batch builder returns a no-copy view for consecutive rows of
+    one allocation (whole-file ingest layout) and byte-identical copies
+    for padding, repeats, gaps, and foreign rows."""
+    from psxavenc_tpu.models.bs_video import _stack_frames
+
+    base = np.arange(64 * 640, dtype=np.uint8).reshape(64, 640)
+    rows = [base[i] for i in range(8, 40)]
+    out = _stack_frames(rows, 32)
+    assert out.__array_interface__["data"][0] == \
+        base[8].__array_interface__["data"][0]          # view, not copy
+    assert np.array_equal(out, base[8:40])
+
+    padded = _stack_frames(rows[:30], 32)               # pad -> copy
+    assert np.array_equal(padded, np.stack(rows[:30] + [rows[29]] * 2))
+    gap = _stack_frames(rows[:16] + rows[17:33], 32)    # gap -> copy
+    assert np.array_equal(gap, np.stack(rows[:16] + rows[17:33]))
+    other = np.zeros(640, np.uint8)
+    mixed = _stack_frames(rows[:31] + [other], 32)      # foreign -> copy
+    assert np.array_equal(mixed, np.stack(rows[:31] + [other]))
+
+
 def test_frame_encoder_native_raises_unfittable(monkeypatch):
     rng = np.random.default_rng(2)
     frames = [rng.integers(0, 256, W * H * 3 // 2).astype(np.uint8)]
