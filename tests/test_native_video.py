@@ -189,7 +189,8 @@ def test_stack_frames_zero_copy_and_fallbacks():
     for padding, repeats, gaps, and foreign rows."""
     from psxavenc_tpu.models.bs_video import _stack_frames
 
-    base = np.arange(64 * 640, dtype=np.uint8).reshape(64, 640)
+    rng = np.random.default_rng(4)
+    base = rng.integers(0, 256, (64, 640)).astype(np.uint8)
     rows = [base[i] for i in range(8, 40)]
     out = _stack_frames(rows, 32)
     assert out.__array_interface__["data"][0] == \
@@ -198,8 +199,11 @@ def test_stack_frames_zero_copy_and_fallbacks():
 
     padded = _stack_frames(rows[:30], 32)               # pad -> copy
     assert np.array_equal(padded, np.stack(rows[:30] + [rows[29]] * 2))
-    gap = _stack_frames(rows[:16] + rows[17:33], 32)    # gap -> copy
-    assert np.array_equal(gap, np.stack(rows[:16] + rows[17:33]))
+    gapped = rows[:16] + [base[i] for i in range(25, 41)]
+    gap = _stack_frames(gapped, 32)                     # gap -> copy
+    assert gap.__array_interface__["data"][0] != \
+        base[8].__array_interface__["data"][0]
+    assert np.array_equal(gap, np.stack(gapped))
     other = np.zeros(640, np.uint8)
     mixed = _stack_frames(rows[:31] + [other], 32)      # foreign -> copy
     assert np.array_equal(mixed, np.stack(rows[:31] + [other]))
