@@ -254,7 +254,7 @@ class _ChunkBatcher:
                 np.asarray(limits))
             slot = {"units": units, "lim": lim, "fc": filter_count,
                     "sr": shift_range, "prev1": prev1, "prev2": prev2,
-                    "done": False, "out": None}
+                    "done": False, "out": None, "error": None}
             with self.cv:
                 self.pending.append(slot)
                 if len(self.pending) >= self.active:
@@ -262,6 +262,9 @@ class _ChunkBatcher:
                 else:
                     while not slot["done"]:
                         self.cv.wait()
+            if slot["error"] is not None:
+                raise RuntimeError(
+                    f"shared chunk encode failed: {slot['error']}")
             return slot["out"]
 
         enc.chunked = True
@@ -273,7 +276,17 @@ class _ChunkBatcher:
         if len(reqs) > 1:
             self.grouped_rounds += 1
             self.max_round = max(self.max_round, len(reqs))
-        results = _encode_audio_groups(reqs, quiet=True)
+        try:
+            results = _encode_audio_groups(reqs, quiet=True)
+        except BaseException as e:
+            # Mark every slot failed before re-raising: the other jobs'
+            # threads are blocked in enc()'s wait loop and would hang
+            # forever otherwise (they surface the error as their own).
+            for slot in reqs:
+                slot["error"] = e
+                slot["done"] = True
+            self.cv.notify_all()
+            raise
         for slot, res in zip(reqs, results):
             slot["out"] = res
             slot["done"] = True
@@ -289,7 +302,6 @@ def _run_streaming_audio(plan, rcs, finish, quiet=False):
 
     def run_one(k, i, args, dec):
         bufs[k] = mux.register()
-        batcher.register()
         try:
             rcs[i] = finish(args, dec, unit_encoder=batcher.encoder())
         except BaseException:
@@ -301,6 +313,13 @@ def _run_streaming_audio(plan, rcs, finish, quiet=False):
     real_stderr = sys.stderr
     sys.stderr = mux
     try:
+        # Register every job BEFORE any thread starts: if a fast job
+        # registered itself in-thread it could reach its first chunk
+        # while the others were still spawning (pending >= active with
+        # active == 1) and flush a premature singleton round, silently
+        # losing the round-sharing for that chunk.
+        for _ in plan:
+            batcher.register()
         threads = [threading.Thread(target=run_one, args=(k, i, a, d),
                                     daemon=True)
                    for k, (i, a, d) in enumerate(plan)]

@@ -42,6 +42,10 @@ def _stack_frames(frames, pad_to):
         for j, f in enumerate(frames):
             if (not isinstance(f, np.ndarray) or f.ndim != 1
                     or f.nbytes != fsz or f.dtype != f0.dtype
+                    # EVERY row must be contiguous, not just f0: a
+                    # strided view can match nbytes/base/start address
+                    # while its logical bytes differ from the raw span.
+                    or not f.flags["C_CONTIGUOUS"]
                     or (f.base if f.base is not None else f) is not ub
                     or f.__array_interface__["data"][0]
                     != addr0 + j * fsz):

@@ -9,6 +9,7 @@
 #include <cstdint>
 #include <cstring>
 
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -502,7 +503,10 @@ static uint8_t bs_ac_bits[0x10000];
 static uint32_t bs_ac_code[0x10000];
 static uint8_t bs_dc_bits[2][512];
 static uint32_t bs_dc_code[2][512];
-static bool bs_luts_ready = false;
+// std::once_flag, not a plain bool: psxn_bs_encode_frames may be entered
+// from multiple host threads, and an unordered ready-flag store could be
+// observed before the table writes (C++ data race).
+static std::once_flag bs_luts_once;
 
 static void bs_luts_init() {
     for (uint32_t key = 0; key < 0x10000; key++) {
@@ -542,7 +546,6 @@ static void bs_luts_init() {
         bs_dc_bits[idx][256] = bs_dc_bits[idx][257];
         bs_dc_code[idx][256] = bs_dc_code[idx][257];
     }
-    bs_luts_ready = true;
 }
 
 // islow FDCT, the same public Loeffler/Ligtenberg/Moshovitz algorithm as
@@ -1086,7 +1089,7 @@ void psxn_bs_encode_frames(const uint8_t *frames, const int32_t *budgets,
                            long capacity_words, int n_threads,
                            uint16_t *words_out, int32_t *scale_out,
                            int32_t *total_bits_out, int32_t *nz_out) {
-    if (!bs_luts_ready) bs_luts_init();
+    std::call_once(bs_luts_once, bs_luts_init);
     const long fbytes = (long)width * height * 3 / 2;
     const long nb = (long)(width / 16) * (height / 16) * 6;
 

@@ -185,3 +185,39 @@ def test_batch_streaming_tier_chunks_grouped(tmp_path, monkeypatch,
     # The runner reported actually-shared chunk rounds across jobs.
     assert "streaming tier: 4 jobs" in err, err
     assert "shared a device call" in err, err
+
+
+def test_batch_streaming_flush_failure_does_not_hang(tmp_path,
+                                                     monkeypatch):
+    """A failing shared device call must fail every waiting streaming
+    job (rc=1) instead of leaving their threads blocked forever on
+    never-completed slots."""
+    import threading
+
+    from psxavenc_tpu.containers import vag as vagmod
+
+    monkeypatch.setenv("PSXAVENC_STREAMING", "1")
+    monkeypatch.setattr(vagmod, "SPU_CHUNK_BLOCKS", 64)
+
+    def boom(reqs, quiet=False):
+        raise RuntimeError("device unavailable (simulated)")
+
+    monkeypatch.setattr(batch, "_encode_audio_groups", boom)
+
+    jobs = []
+    for k in range(3):
+        wav = write_wav(tmp_path / f"a{k}.wav", rand_pcm(30011, seed=60 + k),
+                        44100)
+        jobs.append(["-q", "-t", "vag", "-f", "44100", str(wav),
+                     str(tmp_path / f"a{k}.vag")])
+
+    result = {}
+
+    def run():
+        result["rcs"] = batch.run_jobs(jobs, group=True, quiet=True)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=120)
+    assert not t.is_alive(), "batch runner hung after a flush failure"
+    assert result["rcs"] == [1, 1, 1]

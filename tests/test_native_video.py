@@ -208,6 +208,19 @@ def test_stack_frames_zero_copy_and_fallbacks():
     mixed = _stack_frames(rows[:31] + [other], 32)      # foreign -> copy
     assert np.array_equal(mixed, np.stack(rows[:31] + [other]))
 
+    # A non-contiguous later row whose element count, dtype, base and
+    # start address all line up with the raw-span layout must still fall
+    # back to a copy: the strided view's logical bytes differ from the
+    # fsz contiguous bytes at its address.
+    flat = base.reshape(-1)
+    fsz = 640
+    tricky = [flat[:fsz]] + \
+        [flat[j * fsz: j * fsz + 2 * fsz: 2] for j in range(1, 32)]
+    assert all(t.nbytes == fsz and not t.flags["C_CONTIGUOUS"]
+               for t in tricky[1:])
+    strided = _stack_frames(tricky, 32)
+    assert np.array_equal(strided, np.stack(tricky))
+
 
 def test_frame_encoder_native_raises_unfittable(monkeypatch):
     rng = np.random.default_rng(2)
