@@ -11,6 +11,7 @@ across files of the same geometry) shares one compiled program; per-frame
 byte budgets ride in as data.
 """
 
+import os
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -85,8 +86,6 @@ class BsFrameEncoder:
         # vs the native tier's ~300 on one core — the video analog of
         # the native ADPCM tier). PSXAVENC_VIDEO_TIER=device|native
         # overrides.
-        import os
-
         tier = os.environ.get("PSXAVENC_VIDEO_TIER", "auto")
         if tier == "auto":
             tier = "device" if self._devices[0].platform == "tpu" \
@@ -101,6 +100,10 @@ class BsFrameEncoder:
         else:
             self._native = None
         self._tier = tier
+        # Native-tier select seeds, carried across encode_frames calls
+        # (keyed by worker count) so incremental muxer feeds start every
+        # call warm; they steer eval order only, never output bytes.
+        self._native_seeds = {}
         # One worker thread stages the NEXT batch's host prep + host->
         # device upload + dispatch while the main thread fetches the
         # current batch's payload: H2D(k+1) overlaps compute(k)+D2H(k)
@@ -178,9 +181,13 @@ class BsFrameEncoder:
                 + [frame_max_sizes[ids[-1]]] * (gran - len(ids)),
                 np.int32)
             if self._tier == "native":
+                nt = min(len(fr), os.cpu_count() or 1)
+                seeds = self._native_seeds.setdefault(
+                    nt, np.zeros((nt, 2), np.int32))
                 out = self._native.bs_encode_frames(
                     fr, budgets, codec=self.codec, width=self.width,
-                    height=self.height, capacity_words=cap_words)
+                    height=self.height, capacity_words=cap_words,
+                    n_threads=nt, seeds=seeds)
             elif n_dev > 1:
                 out = self._sharded_step(cap_words)(fr, budgets)
             else:
@@ -242,9 +249,13 @@ class BsFrameEncoder:
         budgets = np.array(list(frame_max_sizes)
                            + [frame_max_sizes[-1]] * (gran - n), np.int32)
         if self._tier == "native":
+            nt = min(len(fr), os.cpu_count() or 1)
+            seeds = self._native_seeds.setdefault(
+                nt, np.zeros((nt, 2), np.int32))
             out = self._native.bs_encode_frames(
                 fr, budgets, codec=self.codec, width=self.width,
-                height=self.height, capacity_words=cap_words)
+                height=self.height, capacity_words=cap_words,
+                n_threads=nt, seeds=seeds)
         elif n_dev > 1:
             out = self._sharded_step(cap_words)(fr, budgets)
         else:

@@ -72,7 +72,8 @@ _lib.psxn_bs_encode_frames.restype = None
 _lib.psxn_bs_encode_frames.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_int,
     ctypes.c_int, ctypes.c_int, ctypes.c_long, ctypes.c_int,
-    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ctypes.c_void_p]
 
 SECTOR_MODE1 = 0
 SECTOR_MODE2_FORM1 = 1
@@ -143,7 +144,7 @@ def adpcm_encode_units(units, limits, prev1, prev2, filter_count,
 
 
 def bs_encode_frames(frames, budgets, *, codec, width, height,
-                     capacity_words, n_threads=None):
+                     capacity_words, n_threads=None, seeds=None):
     """Host BS video frame encoder (no-TPU fallback tier).
 
     Args/outputs mirror api.bs_encode_frames_packed: frames (B, w*h*3/2)
@@ -153,7 +154,12 @@ def bs_encode_frames(frames, budgets, *, codec, width, height,
     (tests/test_native_video.py cross-checks). scale 64 = unfittable
     (callers raise, mdec.c:723 parity). Frames fan out over host
     threads (the v3 DC chain is per-frame state, so frames stay
-    independent)."""
+    independent).
+
+    ``seeds``: optional (n_threads, 2) int32 in/out array carrying each
+    worker's (answer-scale, walk-start) select seeds across calls, so a
+    chunked caller starts every chunk warm. Seeds only steer the eval
+    order; the selected scales and output bytes are seed-independent."""
     if width % 16 or height % 16 or width <= 0 or height <= 0:
         raise ValueError("frame geometry must be positive multiples of "
                          f"16, got {width}x{height}")
@@ -170,10 +176,14 @@ def bs_encode_frames(frames, budgets, *, codec, width, height,
     nz = np.zeros(B, np.int32)
     if n_threads is None:
         n_threads = min(B, os.cpu_count() or 1)
+    if seeds is not None:
+        assert (seeds.dtype == np.int32 and seeds.flags.c_contiguous
+                and seeds.shape == (int(n_threads), 2))
     _lib.psxn_bs_encode_frames(
         _ptr(frames), _ptr(budgets), B, width, height, int(codec),
         capacity_words, int(n_threads), _ptr(words), _ptr(scale),
-        _ptr(total_bits), _ptr(nz))
+        _ptr(total_bits), _ptr(nz),
+        _ptr(seeds) if seeds is not None else None)
     return {"scale": scale, "words": words, "total_bits": total_bits,
             "nz_count": nz}
 

@@ -774,6 +774,9 @@ static void bs_fill_thrm1(int16_t *thrm1, int s) {
 // safety and monotonicity proofs + pins live there/tests). Early-aborts
 // once the running total exceeds thr (only feasibility is consumed).
 static bool bs_lb_feasible(const int16_t *czz, long nb, int s, long thr) {
+#ifdef BS_DIAG_HOOKS           // eval counters for tools-only harnesses
+    g_lb_evals++;
+#endif
     int16_t thrm1[64];
     int32_t t2[64], t3[64], t4[64], t5[64], t7[64];
     bs_fill_thrm1(thrm1, s);
@@ -811,15 +814,31 @@ static bool bs_lb_feasible(const int16_t *czz, long nb, int s, long thr) {
 // Exact AC bit total at scale s, early-aborting once past thr (an
 // aborted call's return still proves unfitness; nz is only meaningful
 // when the returned total <= thr, i.e. no abort fired).
+// Round-up magic reciprocal for quantizer divides: with
+// m = floor(2^30/d) + 1, floor(n*m / 2^30) == n/d for all n < 2^16
+// provided m*d - 2^30 = d - (2^30 mod d) <= 2^14 (Granlund-Montgomery);
+// every reachable d = quant*s <= 83*63 = 5229 <= 2^14 satisfies it, and
+// n = |coef| + d/2 <= 32768 + 2614 < 2^16 (coefs are int16). Verified
+// exhaustively over the full (d, n) domain at change time; the golden
+// and fuzz suites pin it end-to-end.
+static inline void bs_fill_minv(uint32_t *minv, int s) {
+    for (int i = 1; i < 64; i++)
+        minv[i] = (uint32_t)(((1u << 30) /
+                              (uint32_t)(bs_quant[bs_zagzig[i]] * s)) + 1);
+}
+
 static long bs_exact_ac_bits(const int16_t *czz, long nb, int s, long thr,
                              long *nz_out) {
+#ifdef BS_DIAG_HOOKS
+    g_ex_evals++;
+#endif
     int16_t thrm1[64];
-    int32_t dv[64], hv[64];
+    int32_t hv[64];
+    uint32_t minv[64];
     bs_fill_thrm1(thrm1, s);
-    for (int i = 1; i < 64; i++) {
-        dv[i] = bs_quant[bs_zagzig[i]] * s;
-        hv[i] = dv[i] >> 1;
-    }
+    bs_fill_minv(minv, s);
+    for (int i = 1; i < 64; i++)
+        hv[i] = (bs_quant[bs_zagzig[i]] * s) >> 1;
     long total = 0, nz = 0;
     for (long n = 0; n < nb; n++) {
         const int16_t *c = czz + n * 64;
@@ -833,7 +852,8 @@ static long bs_exact_ac_bits(const int16_t *czz, long nb, int s, long thr,
             prev = i;
             int32_t a = c[i];
             a = a < 0 ? -a : a;
-            int32_t m = (a + hv[i]) / dv[i];
+            int32_t m = (int32_t)(((uint64_t)(uint32_t)(a + hv[i])
+                                   * minv[i]) >> 30);
             // |mag| <= 513 here (|coef| <= 8192 for real pixels, AC
             // quant >= 16), below the negative-key region of the LUT,
             // and bits are sign-symmetric.
@@ -846,52 +866,46 @@ static long bs_exact_ac_bits(const int16_t *czz, long nb, int s, long thr,
     return total;
 }
 
+// MSB-first bitstream chopped into 16-bit words (mdec.c:321-333): a
+// 64-bit accumulator takes each symbol in one shift+or (symbols are
+// <= 22 bits, so nbits stays < 38) and spills full words from its top.
 struct bs_bitpack {
     uint16_t *out;
     long cap, n = 0;
-    uint32_t cur = 0;
-    int left = 16;
-    void put(uint32_t val, int bits) {
-        while (bits > 0) {
-            int k = bits < left ? bits : left;
-            uint32_t chunk = (val >> (bits - k)) & ((1u << k) - 1u);
-            cur |= chunk << (left - k);
-            left -= k;
-            bits -= k;
-            if (left == 0) {
-                if (n < cap) out[n] = (uint16_t)cur;
-                n++;
-                cur = 0;
-                left = 16;
-            }
+    uint64_t acc = 0;
+    int nbits = 0;
+    inline void put(uint32_t val, int bits) {
+        acc = (acc << bits) | (val & ((1u << bits) - 1u));
+        nbits += bits;
+        while (nbits >= 16) {
+            nbits -= 16;
+            if (n < cap) out[n] = (uint16_t)(acc >> nbits);
+            n++;
         }
     }
     void flush() {
-        if (left < 16) {
-            if (n < cap) out[n] = (uint16_t)cur;
+        if (nbits > 0) {
+            uint32_t tail = (uint32_t)(acc & ((1u << nbits) - 1u));
+            if (n < cap) out[n] = (uint16_t)(tail << (16 - nbits));
             n++;
-            cur = 0;
-            left = 16;
+            acc = 0;
+            nbits = 0;
         }
     }
 };
 
-static void bs_encode_one_frame(const uint8_t *frame, int width, int height,
-                                int codec, long budget, long cap_words,
-                                uint16_t *words, int32_t *scale_out,
-                                int32_t *total_out, int32_t *nz_out,
-                                int16_t *czz, uint8_t *dcb, uint32_t *dcc,
-                                int *seed_io) {
+// Rearrange + FDCT + zigzag store for one frame's nb blocks (once per
+// frame; the reference re-runs this per scale retry, mdec.c:640-643).
+// Blocks run 8 at a time through the SoA FDCT (lanes = blocks); the
+// tail takes the scalar path. Encode order n = (mx*mb_y + my)*6 + p.
+static void bs_frame_coefs(const uint8_t *frame, int width, int height,
+                           int16_t *czz) {
     const int mb_x = width / 16, mb_y = height / 16;
     const long nb = (long)mb_x * mb_y * 6;
     const uint8_t *yp = frame;
     const uint8_t *cp = frame + (long)width * height;  // interleaved Cr/Cb
     const int cw = width / 2;
 
-    // --- rearrange + FDCT + zigzag store (once per frame; the
-    // reference re-runs this per scale retry, mdec.c:640-643). Blocks
-    // run 8 at a time through the SoA FDCT (lanes = blocks); the tail
-    // takes the scalar path. Encode order n = (mx*mb_y + my)*6 + p.
     auto gather = [&](long n, int32_t *d, int lane, int stride) {
         int p = (int)(n % 6);
         long m = n / 6;
@@ -934,6 +948,61 @@ static void bs_encode_one_frame(const uint8_t *frame, int width, int height,
         for (int pos = 0; pos < 64; pos++)
             dst[pos] = (int16_t)d[bs_zagzig[pos]];
     }
+}
+
+// Emission at the winning scale + 16-bit MSB-first packing (nz-mask
+// pass like the evals: only surviving ACs pay the divide).
+static void bs_frame_emit(const int16_t *czz, long nb, int scale,
+                          int codec, const uint8_t *dcb,
+                          const uint32_t *dcc, uint16_t *words,
+                          long cap_words) {
+    int16_t thrm1[64];
+    int32_t hv[64];
+    uint32_t minv[64];
+    bs_fill_thrm1(thrm1, scale);
+    bs_fill_minv(minv, scale);
+    for (int i = 1; i < 64; i++)
+        hv[i] = (bs_quant[bs_zagzig[i]] * scale) >> 1;
+    bs_bitpack bp{words, cap_words};
+    for (long n = 0; n < nb; n++) {
+        bp.put(dcc[n], dcb[n]);
+        const int16_t *c = czz + n * 64;
+        uint64_t mask = bs_nz_mask64(c, thrm1);
+        int prev = 0;
+        while (mask) {
+            int i = __builtin_ctzll(mask);
+            mask &= mask - 1;
+            int run = i - prev - 1;
+            prev = i;
+            int32_t v = c[i];
+            int32_t a = v < 0 ? -v : v;
+            int32_t m = (int32_t)(((uint64_t)(uint32_t)(a + hv[i])
+                                   * minv[i]) >> 30);
+            int32_t q = bs_clamp_coeff(v < 0 ? -m : m);
+            uint32_t key = ((uint32_t)run << 10) | ((uint32_t)q & 0x3FF);
+            bp.put(bs_ac_code[key], bs_ac_bits[key]);
+        }
+        bp.put(0x2, 2);                            // end-of-block
+    }
+    bp.put(codec == 0 ? 0x1FF : 0x3FF, 10);        // end-of-frame
+    bp.flush();
+}
+
+// Cross-frame select seeds (0 = cold): the previous answer scale and
+// the previous exact-walk start (end of the LB-proven-unfit prefix + 1).
+struct bs_seed {
+    int scale = 0;
+    int slb = 0;
+};
+
+static void bs_encode_one_frame(const uint8_t *frame, int width, int height,
+                                int codec, long budget, long cap_words,
+                                uint16_t *words, int32_t *scale_out,
+                                int32_t *total_out, int32_t *nz_out,
+                                int16_t *czz, uint8_t *dcb, uint32_t *dcc,
+                                bs_seed *seed_io) {
+    const long nb = (long)(width / 16) * (height / 16) * 6;
+    bs_frame_coefs(frame, width, height, czz);
 
     // --- scale-independent DC stage (quant by 8*quant[0] = 16,
     // mdec.c:671; v3/v3dc delta chains per block type, mdec.c:455-480).
@@ -972,70 +1041,111 @@ static void bs_encode_one_frame(const uint8_t *frame, int width, int height,
     long cwords = hw >= 0 ? hw / 2 : -((-hw + 1) / 2);  // floor division
     long thr = 16 * cwords - (dc_total + 2 * nb + 10);
 
-    // Seeded speculative probe, mirroring the Mosaic select kernel
-    // (ops/bs_pallas.py::_search_store): consecutive frames usually
-    // choose the SAME scale, so evaluate the ladder LB at seed-1 (by
-    // monotonicity, infeasible there proves every scale below seed
-    // unfit) and the exact totals at seed — a hit answers in ~2 passes
-    // instead of the cold bisect's ~7. A miss falls back to the bisect
-    // with the bracket already tightened; never to a wrong answer.
+    // Seeded first-fit select, mirroring the Mosaic select kernel
+    // (ops/bs_pallas.py::_search_store): the answer is the SMALLEST
+    // scale whose exact AC total fits, so every scale below it needs an
+    // unfitness proof — either one monotone-LB eval covering a whole
+    // prefix [1, lo], or a per-scale early-aborting exact eval. Two
+    // seeds carry across frames (consecutive frames look alike):
+    // seed->scale speculates the answer (its exact eval is cached for
+    // the walk) and seed->slb speculates the LB-prefix end, so steady
+    // content pays 1 LB + (LB-to-exact gap) exact evals per frame —
+    // the old single-seed form re-bisected the LB boundary from
+    // scratch whenever the gap was nonzero (~7 extra LB evals per
+    // frame on knife-edge content).
     int scale = 64;
     long ac_bits = 0, nz = 0;
     if (thr >= 0) {
-        int seed = *seed_io;
-        int sl = (seed >= 1 && seed <= 63) ? seed : 32;
-        int slm = sl - 1 > 1 ? sl - 1 : 1;
-        bool below = !bs_lb_feasible(czz, nb, slm, thr);
+        int sl = (seed_io->scale >= 1 && seed_io->scale <= 63)
+                     ? seed_io->scale : 32;
+        // Speculative exact eval at the previous answer (early-abort);
+        // the walk reuses it when it reaches sl.
         long nz_sl = 0;
         long b_sl = bs_exact_ac_bits(czz, nb, sl, thr, &nz_sl);
         bool efit = b_sl <= thr;
-        if ((below || sl == 1) && efit) {
-            scale = sl;
-            ac_bits = b_sl;
-            nz = nz_sl;
-        } else {
-            // Galloping bisect from the seed (the kernel's bs_body):
-            // probes step outward with doubling strides while a
-            // bracket side is still a sentinel, so a +/-1 scale drift
-            // costs ~2 LB evals instead of a full log2(63) bisect.
-            int lo = below ? slm : 0, hi = below ? 64 : slm;
-            int probe = below ? sl : slm - 1, step = 1;
-            if (probe < lo + 1) probe = lo + 1;
-            if (probe > hi - 1) probe = hi - 1;
-            while (hi - lo > 1) {                  // LB lower bound
-                if (bs_lb_feasible(czz, nb, probe, thr)) hi = probe;
-                else lo = probe;
-                bool gdn = lo == 0 && hi < 64;
-                bool gup = hi == 64 && lo > 0;
-                int nxt = gdn ? hi - step
-                              : (gup ? lo + step : (lo + hi) >> 1);
-                if (gdn || gup) step *= 2;
-                if (nxt < lo + 1) nxt = lo + 1;
-                if (nxt > hi - 1) nxt = hi - 1;
-                probe = nxt;
+
+        // Establish lo with LB(lo) infeasible ([1, lo] proven unfit by
+        // monotonicity; lo = 0 is the empty proof). Probe the seeded
+        // boundary first; a feasible probe means the boundary moved
+        // down — gallop toward 1, then bisect the bracket closed (each
+        // LB eval here saves several exact evals in the walk).
+        int sb = (seed_io->slb >= 1 && seed_io->slb <= 63)
+                     ? seed_io->slb : sl;
+        if (efit && sb > sl) sb = sl;   // never start the walk past a
+                                        // fitting speculative answer
+        int lo = 0, hi = 64, step = 1;
+        int probe = sb - 1;
+        while (probe >= 1) {
+            if (!bs_lb_feasible(czz, nb, probe, thr)) {
+                lo = probe;
+                break;
             }
-            int s0 = (!efit && hi == sl) ? sl + 1 : hi;
-            if (efit && hi == sl) {                // reuse the probe
-                scale = sl;
-                ac_bits = b_sl;
-                nz = nz_sl;
+            hi = probe;
+            probe = hi - step;
+            step *= 2;
+        }
+        while (hi - lo > 1 && hi < 64) {
+            int mid = (lo + hi) >> 1;
+            if (bs_lb_feasible(czz, nb, mid, thr)) hi = mid;
+            else lo = mid;
+        }
+        if (hi < 64) lo = hi - 1;       // bracket closed at the boundary
+
+        // Next frame's boundary seed: the first LB-feasible scale when
+        // the bracket closed, else the (sticky) walk start. Escalations
+        // below never feed it — their brackets sit above the true
+        // boundary.
+        int slb = (hi < 64) ? hi : lo + 1;
+        seed_io->slb = slb <= 63 ? slb : 63;
+
+        // Exact first-fit walk from lo+1. Scales between the LB
+        // boundary and the answer are LB-feasible, so only exact evals
+        // can prove them unfit — LB evals there are pure waste; but
+        // once the walk passes the speculative answer (upward content
+        // drift), the boundary has likely moved too, and a lazy LB
+        // gallop+bisect bulk-proves the drift region instead of paying
+        // one exact eval per scale.
+        int s = lo + 1, miss = 0;
+        while (s <= 63) {
+            long nz_s = 0;
+            long b;
+            if (s == sl) {
+                b = b_sl;
+                nz_s = nz_sl;
             } else {
-                for (int s = s0; s <= 63; s++) {
-                    long nz_s = 0;
-                    long b = bs_exact_ac_bits(czz, nb, s, thr, &nz_s);
-                    if (b <= thr) {                // no abort: nz exact
-                        scale = s;
-                        ac_bits = b;
-                        nz = nz_s;
-                        break;
-                    }
-                }
+                b = bs_exact_ac_bits(czz, nb, s, thr, &nz_s);
+                if (s > sl) miss++;
             }
+            if (b <= thr) {                        // no abort: nz exact
+                scale = s;
+                ac_bits = b;
+                nz = nz_s;
+                break;
+            }
+            if (miss >= 4 && s < 62) {
+                int glo = s, ghi = 64, gstep = 2;
+                while (ghi == 64 && glo + gstep <= 63) {
+                    int gp = glo + gstep;
+                    if (bs_lb_feasible(czz, nb, gp, thr)) ghi = gp;
+                    else glo = gp;
+                    gstep *= 2;
+                }
+                while (ghi - glo > 1) {
+                    int mid = (glo + ghi) >> 1;
+                    if (bs_lb_feasible(czz, nb, mid, thr)) ghi = mid;
+                    else glo = mid;
+                }
+                s = glo + 1;
+                seed_io->slb = ghi <= 63 ? ghi : 63;
+                miss = 0;
+                continue;
+            }
+            s++;
         }
     }
     // An unfittable frame seeds the next at 63 (64 is unprobeable and
-    // would cold-bisect every following frame — the kernel's gotcha).
-    *seed_io = scale <= 63 ? scale : 63;
+    // would cold-walk every following frame — the kernel's gotcha).
+    seed_io->scale = scale <= 63 ? scale : 63;
     *scale_out = scale;
     if (scale >= 64) {                             // caller raises
         *total_out = 0;
@@ -1044,38 +1154,7 @@ static void bs_encode_one_frame(const uint8_t *frame, int width, int height,
     }
     *total_out = (int32_t)(ac_bits + dc_total + 2 * nb + 10);
     *nz_out = (int32_t)nz;
-
-    // --- emission at the winning scale + 16-bit MSB-first packing
-    // (nz-mask pass like the evals: only surviving ACs pay the divide).
-    int16_t thrm1[64];
-    int32_t dv[64], hv[64];
-    bs_fill_thrm1(thrm1, scale);
-    for (int i = 1; i < 64; i++) {
-        dv[i] = bs_quant[bs_zagzig[i]] * scale;
-        hv[i] = dv[i] >> 1;
-    }
-    bs_bitpack bp{words, cap_words};
-    for (long n = 0; n < nb; n++) {
-        bp.put(dcc[n], dcb[n]);
-        const int16_t *c = czz + n * 64;
-        uint64_t mask = bs_nz_mask64(c, thrm1);
-        int prev = 0;
-        while (mask) {
-            int i = __builtin_ctzll(mask);
-            mask &= mask - 1;
-            int run = i - prev - 1;
-            prev = i;
-            int32_t v = c[i];
-            int32_t a = v < 0 ? -v : v;
-            int32_t m = (a + hv[i]) / dv[i];
-            int32_t q = bs_clamp_coeff(v < 0 ? -m : m);
-            uint32_t key = ((uint32_t)run << 10) | ((uint32_t)q & 0x3FF);
-            bp.put(bs_ac_code[key], bs_ac_bits[key]);
-        }
-        bp.put(0x2, 2);                            // end-of-block
-    }
-    bp.put(codec == 0 ? 0x1FF : 0x3FF, 10);        // end-of-frame
-    bp.flush();
+    bs_frame_emit(czz, nb, scale, codec, dcb, dcc, words, cap_words);
 }
 
 // Encode B NV21 frames with per-frame byte budgets into packed 16-bit
@@ -1088,7 +1167,8 @@ void psxn_bs_encode_frames(const uint8_t *frames, const int32_t *budgets,
                            long B, int width, int height, int codec,
                            long capacity_words, int n_threads,
                            uint16_t *words_out, int32_t *scale_out,
-                           int32_t *total_bits_out, int32_t *nz_out) {
+                           int32_t *total_bits_out, int32_t *nz_out,
+                           int32_t *seeds_io) {
     std::call_once(bs_luts_once, bs_luts_init);
     const long fbytes = (long)width * height * 3 / 2;
     const long nb = (long)(width / 16) * (height / 16) * 6;
@@ -1097,13 +1177,25 @@ void psxn_bs_encode_frames(const uint8_t *frames, const int32_t *budgets,
         std::vector<int16_t> czz(nb * 64);
         std::vector<uint8_t> dcb(nb);
         std::vector<uint32_t> dcc(nb);
-        int seed = 0;   // per-worker: its stride stays temporally close
+        // Per-worker seeds (its stride stays temporally close); callers
+        // may pass an (n_threads, 2) int32 array to carry them across
+        // calls — chunked encoders then start every chunk warm. Seeds
+        // only steer eval order, never the selected scale.
+        bs_seed seed;
+        if (seeds_io) {
+            seed.scale = seeds_io[2 * t];
+            seed.slb = seeds_io[2 * t + 1];
+        }
         for (long i = t; i < B; i += nt)
             bs_encode_one_frame(
                 frames + i * fbytes, width, height, codec, budgets[i],
                 capacity_words, words_out + i * capacity_words,
                 scale_out + i, total_bits_out + i, nz_out + i,
                 czz.data(), dcb.data(), dcc.data(), &seed);
+        if (seeds_io) {
+            seeds_io[2 * t] = seed.scale;
+            seeds_io[2 * t + 1] = seed.slb;
+        }
     };
     long nt = n_threads > 0 ? n_threads : 1;
     if (nt > B) nt = B;

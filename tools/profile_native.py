@@ -41,12 +41,12 @@ int main() {
     std::vector<uint8_t> dcb(nb, 10);
     std::vector<uint32_t> dcc(nb, 0);
     std::vector<uint16_t> words(cap);
-    int32_t sc, tb, nz; int seed = 0;
+    int32_t sc, tb, nz; bs_seed seed;
     const int R = 50;
 
     auto t0 = clk::now();
     for (int r = 0; r < R; r++) {
-        seed = 0;
+        seed = bs_seed{};
         bs_encode_one_frame(frame.data(), W, H, 0, budget, cap,
             words.data(), &sc, &tb, &nz, czz.data(), dcb.data(),
             dcc.data(), &seed);
@@ -62,6 +62,12 @@ int main() {
     t1 = clk::now();
     printf("video full (warm seed):  %%7.3f ms/frame\n", ms(t0,t1)/R);
 
+    t0 = clk::now();
+    for (int r = 0; r < R; r++)
+        bs_frame_coefs(frame.data(), W, H, czz.data());
+    t1 = clk::now();
+    printf("coefs (rearrange+FDCT+zz): %%5.3f ms/frame\n", ms(t0,t1)/R);
+
     long thr = 16*cap - (10*nb + 2*nb + 10);
     t0 = clk::now();
     volatile bool f = false;
@@ -76,6 +82,12 @@ int main() {
     t1 = clk::now();
     printf("exact eval:              %%7.3f ms  (nz=%%ld)\n",
            ms(t0,t1)/R, nzv);
+    t0 = clk::now();
+    for (int r = 0; r < R; r++)
+        bs_frame_emit(czz.data(), nb, sc, 0, dcb.data(), dcc.data(),
+                      words.data(), cap);
+    t1 = clk::now();
+    printf("emit+pack:               %%7.3f ms\n", ms(t0,t1)/R);
 
     // ADPCM unit encoder throughput (B rows x T units).
     const long B = 64, T = 500;
