@@ -827,8 +827,15 @@ static inline void bs_fill_minv(uint32_t *minv, int s) {
                               (uint32_t)(bs_quant[bs_zagzig[i]] * s)) + 1);
 }
 
-static long bs_exact_ac_bits(const int16_t *czz, long nb, int s, long thr,
-                             long *nz_out) {
+// Exact AC bit total at scale s, early-aborting once past thr. When
+// keys/kcnt are non-null and NO abort fires, they receive each block's
+// survivor symbol keys (run<<10 | signed-level & 0x3FF, the AC LUT
+// index) and per-block counts — the emitter then replays them without
+// re-scanning or re-quantizing (an aborted call leaves them partial;
+// callers only consume them when the returned total fits).
+static long bs_exact_ac_bits_keys(const int16_t *czz, long nb, int s,
+                                  long thr, long *nz_out,
+                                  uint16_t *keys, uint8_t *kcnt) {
 #ifdef BS_DIAG_HOOKS
     g_ex_evals++;
 #endif
@@ -843,27 +850,46 @@ static long bs_exact_ac_bits(const int16_t *czz, long nb, int s, long thr,
     for (long n = 0; n < nb; n++) {
         const int16_t *c = czz + n * 64;
         uint64_t mask = bs_nz_mask64(c, thrm1);
-        nz += __builtin_popcountll(mask);
+        int cnt = __builtin_popcountll(mask);
+        nz += cnt;
+        uint16_t *kb = keys ? keys + n * 63 : nullptr;
+        int k = 0;
         int prev = 0;
         while (mask) {
             int i = __builtin_ctzll(mask);
             mask &= mask - 1;
             int run = i - prev - 1;
             prev = i;
-            int32_t a = c[i];
-            a = a < 0 ? -a : a;
+            int32_t v = c[i];
+            int32_t a = v < 0 ? -v : v;
             int32_t m = (int32_t)(((uint64_t)(uint32_t)(a + hv[i])
                                    * minv[i]) >> 30);
             // |mag| <= 513 here (|coef| <= 8192 for real pixels, AC
             // quant >= 16), below the negative-key region of the LUT,
-            // and bits are sign-symmetric.
+            // and bits are sign-symmetric — the UNSIGNED unclamped key
+            // is enough for the total (escape levels stay escapes under
+            // the clamp, so the bit counts agree); the stored key is
+            // the emitter's: signed and wrap+clamped (mdec.c:257-267),
+            // which changes the CODE for clamped escape levels.
             total += bs_ac_bits[((uint32_t)run << 10)
                                 | ((uint32_t)m & 0x3FF)];
+            if (kb) {
+                int32_t q = bs_clamp_coeff(v < 0 ? -m : m);
+                kb[k++] = (uint16_t)(((uint32_t)run << 10) |
+                                     ((uint32_t)q & 0x3FF));
+            }
         }
+        if (kcnt) kcnt[n] = (uint8_t)cnt;
         if (total > thr) return total;
     }
     *nz_out = nz;
     return total;
+}
+
+static inline long bs_exact_ac_bits(const int16_t *czz, long nb, int s,
+                                    long thr, long *nz_out) {
+    return bs_exact_ac_bits_keys(czz, nb, s, thr, nz_out, nullptr,
+                                 nullptr);
 }
 
 // MSB-first bitstream chopped into 16-bit words (mdec.c:321-333): a
@@ -1069,36 +1095,20 @@ static void bs_frame_coefs(const uint8_t *frame, int width, int height,
     }
 }
 
-// Emission at the winning scale + 16-bit MSB-first packing (nz-mask
-// pass like the evals: only surviving ACs pay the divide).
-static void bs_frame_emit(const int16_t *czz, long nb, int scale,
-                          int codec, const uint8_t *dcb,
+// Emission at the winning scale + 16-bit MSB-first packing: replays the
+// symbol keys the winning exact eval cached — no second scan, no second
+// quantization (the reference re-quantizes per emission, mdec.c:640).
+static void bs_frame_emit(const uint16_t *keys, const uint8_t *kcnt,
+                          long nb, int codec, const uint8_t *dcb,
                           const uint32_t *dcc, uint16_t *words,
                           long cap_words) {
-    int16_t thrm1[64];
-    int32_t hv[64];
-    uint32_t minv[64];
-    bs_fill_thrm1(thrm1, scale);
-    bs_fill_minv(minv, scale);
-    for (int i = 1; i < 64; i++)
-        hv[i] = (bs_quant[bs_zagzig[i]] * scale) >> 1;
     bs_bitpack bp{words, cap_words};
     for (long n = 0; n < nb; n++) {
         bp.put(dcc[n], dcb[n]);
-        const int16_t *c = czz + n * 64;
-        uint64_t mask = bs_nz_mask64(c, thrm1);
-        int prev = 0;
-        while (mask) {
-            int i = __builtin_ctzll(mask);
-            mask &= mask - 1;
-            int run = i - prev - 1;
-            prev = i;
-            int32_t v = c[i];
-            int32_t a = v < 0 ? -v : v;
-            int32_t m = (int32_t)(((uint64_t)(uint32_t)(a + hv[i])
-                                   * minv[i]) >> 30);
-            int32_t q = bs_clamp_coeff(v < 0 ? -m : m);
-            uint32_t key = ((uint32_t)run << 10) | ((uint32_t)q & 0x3FF);
+        const uint16_t *kb = keys + n * 63;
+        int cnt = kcnt[n];
+        for (int k = 0; k < cnt; k++) {
+            uint32_t key = kb[k];
             bp.put(bs_ac_code[key], bs_ac_bits[key]);
         }
         bp.put(0x2, 2);                            // end-of-block
@@ -1114,12 +1124,26 @@ struct bs_seed {
     int slb = 0;
 };
 
+// Scratch for one worker's frame encodes: symbol-key caches for the
+// speculative eval and the walk (two, so a later aborted walk eval
+// cannot corrupt the cached speculative symbols).
+struct bs_scratch {
+    std::vector<uint16_t> keys_sl, keys_wk;       // (nb, 63) each
+    std::vector<uint8_t> kcnt_sl, kcnt_wk;        // (nb,) each
+    void reserve(long nb) {
+        keys_sl.resize(nb * 63);
+        keys_wk.resize(nb * 63);
+        kcnt_sl.resize(nb);
+        kcnt_wk.resize(nb);
+    }
+};
+
 static void bs_encode_one_frame(const uint8_t *frame, int width, int height,
                                 int codec, long budget, long cap_words,
                                 uint16_t *words, int32_t *scale_out,
                                 int32_t *total_out, int32_t *nz_out,
                                 int16_t *czz, uint8_t *dcb, uint32_t *dcc,
-                                bs_seed *seed_io) {
+                                bs_seed *seed_io, bs_scratch *scr) {
     const long nb = (long)(width / 16) * (height / 16) * 6;
     bs_frame_coefs(frame, width, height, czz);
 
@@ -1174,13 +1198,19 @@ static void bs_encode_one_frame(const uint8_t *frame, int width, int height,
     // frame on knife-edge content).
     int scale = 64;
     long ac_bits = 0, nz = 0;
+    const uint16_t *emit_keys = nullptr;
+    const uint8_t *emit_kcnt = nullptr;
     if (thr >= 0) {
         int sl = (seed_io->scale >= 1 && seed_io->scale <= 63)
                      ? seed_io->scale : 32;
         // Speculative exact eval at the previous answer (early-abort);
-        // the walk reuses it when it reaches sl.
+        // the walk reuses it when it reaches sl. Its symbol keys are
+        // cached in their own buffer so failing walk evals can't
+        // clobber them before the walk reaches sl.
         long nz_sl = 0;
-        long b_sl = bs_exact_ac_bits(czz, nb, sl, thr, &nz_sl);
+        long b_sl = bs_exact_ac_bits_keys(czz, nb, sl, thr, &nz_sl,
+                                          scr->keys_sl.data(),
+                                          scr->kcnt_sl.data());
         bool efit = b_sl <= thr;
 
         // Establish lo with LB(lo) infeasible ([1, lo] proven unfit by
@@ -1228,17 +1258,24 @@ static void bs_encode_one_frame(const uint8_t *frame, int width, int height,
         while (s <= 63) {
             long nz_s = 0;
             long b;
-            if (s == sl) {
+            bool cached = (s == sl);
+            if (cached) {
                 b = b_sl;
                 nz_s = nz_sl;
             } else {
-                b = bs_exact_ac_bits(czz, nb, s, thr, &nz_s);
+                b = bs_exact_ac_bits_keys(czz, nb, s, thr, &nz_s,
+                                          scr->keys_wk.data(),
+                                          scr->kcnt_wk.data());
                 if (s > sl) miss++;
             }
             if (b <= thr) {                        // no abort: nz exact
                 scale = s;
                 ac_bits = b;
                 nz = nz_s;
+                emit_keys = cached ? scr->keys_sl.data()
+                                   : scr->keys_wk.data();
+                emit_kcnt = cached ? scr->kcnt_sl.data()
+                                   : scr->kcnt_wk.data();
                 break;
             }
             if (miss >= 4 && s < 62) {
@@ -1273,7 +1310,8 @@ static void bs_encode_one_frame(const uint8_t *frame, int width, int height,
     }
     *total_out = (int32_t)(ac_bits + dc_total + 2 * nb + 10);
     *nz_out = (int32_t)nz;
-    bs_frame_emit(czz, nb, scale, codec, dcb, dcc, words, cap_words);
+    bs_frame_emit(emit_keys, emit_kcnt, nb, codec, dcb, dcc, words,
+                  cap_words);
 }
 
 // Encode B NV21 frames with per-frame byte budgets into packed 16-bit
@@ -1296,6 +1334,8 @@ void psxn_bs_encode_frames(const uint8_t *frames, const int32_t *budgets,
         std::vector<int16_t> czz(nb * 64);
         std::vector<uint8_t> dcb(nb);
         std::vector<uint32_t> dcc(nb);
+        bs_scratch scr;
+        scr.reserve(nb);
         // Per-worker seeds (its stride stays temporally close); callers
         // may pass an (n_threads, 2) int32 array to carry them across
         // calls — chunked encoders then start every chunk warm. Seeds
@@ -1310,7 +1350,7 @@ void psxn_bs_encode_frames(const uint8_t *frames, const int32_t *budgets,
                 frames + i * fbytes, width, height, codec, budgets[i],
                 capacity_words, words_out + i * capacity_words,
                 scale_out + i, total_bits_out + i, nz_out + i,
-                czz.data(), dcb.data(), dcc.data(), &seed);
+                czz.data(), dcb.data(), dcc.data(), &seed, &scr);
         if (seeds_io) {
             seeds_io[2 * t] = seed.scale;
             seeds_io[2 * t + 1] = seed.slb;

@@ -41,7 +41,7 @@ int main() {
     std::vector<uint8_t> dcb(nb, 10);
     std::vector<uint32_t> dcc(nb, 0);
     std::vector<uint16_t> words(cap);
-    int32_t sc, tb, nz; bs_seed seed;
+    int32_t sc, tb, nz; bs_seed seed; bs_scratch scr; scr.reserve(nb);
     const int R = 50;
 
     auto t0 = clk::now();
@@ -49,7 +49,7 @@ int main() {
         seed = bs_seed{};
         bs_encode_one_frame(frame.data(), W, H, 0, budget, cap,
             words.data(), &sc, &tb, &nz, czz.data(), dcb.data(),
-            dcc.data(), &seed);
+            dcc.data(), &seed, &scr);
     }
     auto t1 = clk::now();
     printf("video full (cold seed):  %%7.3f ms/frame  scale=%%d\n",
@@ -58,7 +58,7 @@ int main() {
     for (int r = 0; r < R; r++)
         bs_encode_one_frame(frame.data(), W, H, 0, budget, cap,
             words.data(), &sc, &tb, &nz, czz.data(), dcb.data(),
-            dcc.data(), &seed);
+            dcc.data(), &seed, &scr);
     t1 = clk::now();
     printf("video full (warm seed):  %%7.3f ms/frame\n", ms(t0,t1)/R);
 
@@ -82,12 +82,14 @@ int main() {
     t1 = clk::now();
     printf("exact eval:              %%7.3f ms  (nz=%%ld)\n",
            ms(t0,t1)/R, nzv);
+    (void)bs_exact_ac_bits_keys(czz.data(), nb, sc, 1L<<40, &nzv,
+                                scr.keys_wk.data(), scr.kcnt_wk.data());
     t0 = clk::now();
     for (int r = 0; r < R; r++)
-        bs_frame_emit(czz.data(), nb, sc, 0, dcb.data(), dcc.data(),
-                      words.data(), cap);
+        bs_frame_emit(scr.keys_wk.data(), scr.kcnt_wk.data(), nb, 0,
+                      dcb.data(), dcc.data(), words.data(), cap);
     t1 = clk::now();
-    printf("emit+pack:               %%7.3f ms\n", ms(t0,t1)/R);
+    printf("emit+pack (key replay):  %%7.3f ms\n", ms(t0,t1)/R);
 
     // ADPCM unit encoder throughput (B rows x T units).
     const long B = 64, T = 500;
