@@ -778,8 +778,90 @@ static bool bs_lb_feasible(const int16_t *czz, long nb, int s, long thr) {
     g_lb_evals++;
 #endif
     int16_t thrm1[64];
-    int32_t t2[64], t3[64], t4[64], t5[64], t7[64];
     bs_fill_thrm1(thrm1, s);
+    // Run-bonus table g(run) (runs are at most 62).
+    static const int8_t g_tab[64] = {
+        0, 1, 2, 3, 3, 4, 4, 4, 5, 5, 6, 6, 6, 6, 8, 8,
+        8, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9,
+        9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9,
+        9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9};
+#ifdef BS_HAVE_AVX2
+    // Vector ladder: the per-survivor magnitude classes (6 int16
+    // compares) and their weighted sum run over all 64 positions at
+    // once; only the run bonuses (sequential gaps between survivors)
+    // stay scalar, reading a per-position (c2+c3) byte the vector pass
+    // stored. Thresholds above int16 are clamped to 32767: |coef| of a
+    // real pixel block is <= 8192 (islow bound), so no reachable value
+    // crosses a clamped threshold. Totals match the scalar path
+    // exactly.
+    alignas(32) int16_t tm1[5][64];
+    for (int i = 1; i < 64; i++) {
+        int32_t d = bs_quant[bs_zagzig[i]] * s;
+        int32_t half = d >> 1;
+        const int32_t ks[5] = {2, 3, 4, 5, 7};
+        for (int j = 0; j < 5; j++) {
+            int32_t t = ks[j] * d - half - 1;      // compare a > t-1
+            tm1[j][i] = (int16_t)(t > 32767 ? 32767 : t);
+        }
+    }
+    for (int j = 0; j < 5; j++)
+        tm1[j][0] = 32767;                         // DC slot never passes
+    // Class weights for the ladder sum: 2*c2 + c3 + 2*c4 + c5 + 2*c7.
+    const int16_t w[5] = {2, 1, 2, 1, 2};
+    long total = 0;
+    alignas(32) int8_t cc[64];
+    const __m256i ones16 = _mm256_set1_epi16(1);
+    for (long n = 0; n < nb; n++) {
+        const int16_t *c = czz + n * 64;
+        uint64_t mask = bs_nz_mask64(c, thrm1);
+        if (!mask) continue;
+        int pop = __builtin_popcountll(mask);
+        __m256i acc = _mm256_setzero_si256();
+        for (int gq = 0; gq < 4; gq++) {
+            __m256i a = _mm256_abs_epi16(_mm256_loadu_si256(
+                (const __m256i *)(c + gq * 16)));
+            __m256i surv = _mm256_cmpgt_epi16(a, _mm256_loadu_si256(
+                (const __m256i *)(thrm1 + gq * 16)));
+            __m256i lad = _mm256_setzero_si256();
+            __m256i cc16 = _mm256_setzero_si256();
+            for (int j = 0; j < 5; j++) {
+                __m256i m = _mm256_cmpgt_epi16(a, _mm256_load_si256(
+                    (const __m256i *)(tm1[j] + gq * 16)));
+                lad = _mm256_add_epi16(
+                    lad, _mm256_and_si256(
+                        m, _mm256_set1_epi16(w[j])));
+                if (j < 2)                         // mask -1 -> +1
+                    cc16 = _mm256_sub_epi16(cc16, m);
+            }
+            lad = _mm256_and_si256(lad, surv);
+            acc = _mm256_add_epi32(acc, _mm256_madd_epi16(lad, ones16));
+            cc16 = _mm256_and_si256(cc16, surv);
+            // Pack (0..2 values, saturation-safe) to bytes in position
+            // order: packs interleaves 128-bit lanes, undone by the
+            // 0xD8 qword permute.
+            __m256i p = _mm256_packs_epi16(cc16, _mm256_setzero_si256());
+            p = _mm256_permute4x64_epi64(p, 0xD8);
+            _mm_storeu_si128((__m128i *)(cc + gq * 16),
+                             _mm256_castsi256_si128(p));
+        }
+        alignas(32) int32_t lanes[8];
+        _mm256_store_si256((__m256i *)lanes, acc);
+        long bt = 3L * pop;
+        for (int k = 0; k < 8; k++) bt += lanes[k];
+        int prev = 0;
+        while (mask) {
+            int i = __builtin_ctzll(mask);
+            mask &= mask - 1;
+            int run = i - prev - 1;
+            prev = i;
+            bt += g_tab[run] + (run >= 1 ? cc[i] : 0);
+        }
+        total += bt;
+        if (total > thr) return false;
+    }
+    return total <= thr;
+#else
+    int32_t t2[64], t3[64], t4[64], t5[64], t7[64];
     for (int i = 1; i < 64; i++) {
         int32_t d = bs_quant[bs_zagzig[i]] * s;
         int32_t half = d >> 1;
@@ -809,6 +891,7 @@ static bool bs_lb_feasible(const int16_t *czz, long nb, int s, long thr) {
         if (total > thr) return false;
     }
     return total <= thr;
+#endif
 }
 
 // Exact AC bit total at scale s, early-aborting once past thr (an
