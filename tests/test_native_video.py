@@ -85,6 +85,39 @@ def test_native_unfittable_scale64():
     assert ref["total_bits"][1] == nat["total_bits"][1]
 
 
+def test_native_seeds_never_change_bytes():
+    """The cross-call select seeds only steer eval order: chunked calls
+    with a carried seeds array produce byte-identical outputs to one
+    cold whole-batch call — including across a budget change and an
+    unfittable frame (which must seed the next chunk at 63, not 64)."""
+    rng = np.random.default_rng(21)
+    frames = rng.integers(0, 256, (8, W * H * 3 // 2)).astype(np.uint8)
+    budgets = np.array([18144, 18144, 8016, 2016, 18144, 18144, 8016,
+                        18144], np.int32)
+    cap = (18144 - 8 + 1) // 2
+    cold = native.bs_encode_frames(frames, budgets, codec=bs_ops.BS_V2,
+                                   width=W, height=H,
+                                   capacity_words=cap)
+    seeds = np.zeros((1, 2), np.int32)
+    parts = []
+    for base in range(0, 8, 2):
+        parts.append(native.bs_encode_frames(
+            frames[base:base + 2], budgets[base:base + 2],
+            codec=bs_ops.BS_V2, width=W, height=H, capacity_words=cap,
+            n_threads=1, seeds=seeds))
+    assert (seeds[0] != 0).any()            # seeds actually carried
+    for k in ("scale", "words", "total_bits", "nz_count"):
+        got = np.concatenate([p[k] for p in parts])
+        # Unfittable frames report junk metadata apart from scale
+        # (callers raise); compare them scale-only like the XLA parity
+        # test does.
+        if k == "scale":
+            assert np.array_equal(cold[k], got)
+        else:
+            fit = cold["scale"] <= 63
+            assert np.array_equal(cold[k][fit], got[fit]), k
+
+
 def test_native_small_geometry():
     """16x16 (one macroblock) exercises the rearrange edge cases."""
     w = h = 16
