@@ -123,6 +123,17 @@ class BsFrameEncoder:
         except Exception:  # noqa: BLE001 — interpreter teardown
             pass
 
+    def _native_encode(self, fr, budgets, cap_words):
+        """Native-tier frame encode with per-worker select seeds carried
+        across calls (keyed by worker count; order-only, never bytes)."""
+        nt = min(len(fr), os.cpu_count() or 1)
+        seeds = self._native_seeds.setdefault(
+            nt, np.zeros((nt, 2), np.int32))
+        return self._native.bs_encode_frames(
+            fr, budgets, codec=self.codec, width=self.width,
+            height=self.height, capacity_words=cap_words,
+            n_threads=nt, seeds=seeds)
+
     def _sharded_step(self, cap_words):
         key = cap_words
         step = self._sharded_steps.get(key)
@@ -181,13 +192,7 @@ class BsFrameEncoder:
                 + [frame_max_sizes[ids[-1]]] * (gran - len(ids)),
                 np.int32)
             if self._tier == "native":
-                nt = min(len(fr), os.cpu_count() or 1)
-                seeds = self._native_seeds.setdefault(
-                    nt, np.zeros((nt, 2), np.int32))
-                out = self._native.bs_encode_frames(
-                    fr, budgets, codec=self.codec, width=self.width,
-                    height=self.height, capacity_words=cap_words,
-                    n_threads=nt, seeds=seeds)
+                out = self._native_encode(fr, budgets, cap_words)
             elif n_dev > 1:
                 out = self._sharded_step(cap_words)(fr, budgets)
             else:
@@ -249,13 +254,7 @@ class BsFrameEncoder:
         budgets = np.array(list(frame_max_sizes)
                            + [frame_max_sizes[-1]] * (gran - n), np.int32)
         if self._tier == "native":
-            nt = min(len(fr), os.cpu_count() or 1)
-            seeds = self._native_seeds.setdefault(
-                nt, np.zeros((nt, 2), np.int32))
-            out = self._native.bs_encode_frames(
-                fr, budgets, codec=self.codec, width=self.width,
-                height=self.height, capacity_words=cap_words,
-                n_threads=nt, seeds=seeds)
+            out = self._native_encode(fr, budgets, cap_words)
         elif n_dev > 1:
             out = self._sharded_step(cap_words)(fr, budgets)
         else:

@@ -176,9 +176,11 @@ def bs_encode_frames(frames, budgets, *, codec, width, height,
     nz = np.zeros(B, np.int32)
     if n_threads is None:
         n_threads = min(B, os.cpu_count() or 1)
-    if seeds is not None:
-        assert (seeds.dtype == np.int32 and seeds.flags.c_contiguous
-                and seeds.shape == (int(n_threads), 2))
+    if seeds is not None and (
+            seeds.dtype != np.int32 or not seeds.flags.c_contiguous
+            or seeds.shape != (int(n_threads), 2)):
+        raise ValueError("seeds must be a C-contiguous int32 array of "
+                         f"shape ({int(n_threads)}, 2)")
     _lib.psxn_bs_encode_frames(
         _ptr(frames), _ptr(budgets), B, width, height, int(codec),
         capacity_words, int(n_threads), _ptr(words), _ptr(scale),

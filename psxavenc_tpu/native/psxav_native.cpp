@@ -1321,12 +1321,15 @@ static void bs_encode_one_frame(const uint8_t *frame, int width, int height,
             if (bs_lb_feasible(czz, nb, mid, thr)) hi = mid;
             else lo = mid;
         }
-        if (hi < 64) lo = hi - 1;       // bracket closed at the boundary
+        // When hi < 64 the bisect closed the bracket (lo == hi - 1), so
+        // the walk starts at the exact LB boundary.
 
         // Next frame's boundary seed: the first LB-feasible scale when
-        // the bracket closed, else the (sticky) walk start. Escalations
-        // below never feed it — their brackets sit above the true
-        // boundary.
+        // the bracket closed, else the (sticky) walk start. An upward
+        // escalation in the walk below overwrites it with its own
+        // bracket's first LB-feasible scale — a HINT for the next
+        // frame's probe, possibly above that frame's true boundary
+        // (seeds steer eval order only, never proofs).
         int slb = (hi < 64) ? hi : lo + 1;
         seed_io->slb = slb <= 63 ? slb : 63;
 
