@@ -626,7 +626,20 @@ def main():
         "vs_baseline": round(video_dev_fps / ref["video_fps"], 2),
     }
     if device_fallback:
+        # A wedged tunnel means this run measured the no-TPU native
+        # tier; surface the committed TPU record alongside (clearly
+        # labeled as cached, never as this run's measurement).
         line["device_fallback"] = "cpu (TPU tunnel unreachable)"
+        try:
+            rec = json.loads((REPO / "BENCH_DETAILS.json").read_text())
+            line["cached_tpu_fps_per_chip"] = round(
+                rec["video_fps_device"], 2)
+            line["cached_tpu_vs_baseline"] = round(
+                rec["video_fps_device"] / rec["video_fps_ref_cpu"], 2)
+            line["cached_tpu_source"] = "BENCH_DETAILS.json (last " \
+                "successful on-device run; see its notes)"
+        except Exception:  # noqa: BLE001 — record missing/corrupt
+            pass
     print(json.dumps(line))
 
 
